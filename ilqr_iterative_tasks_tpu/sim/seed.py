@@ -1,0 +1,38 @@
+"""Seed (iteration-0) trajectory generation.
+
+Behavioral parity: /root/reference/iterative_ilqr/utils/base.py:103-138
+(KineticBicycle.get_traj): a scripted 120 s open-loop maneuver — accelerate
+1 s at a=1, steer +pi/6 for 1 s, opposite steer at mid-trajectory, decelerate
+near the end — integrated with the bicycle dynamics. Defines the task: start
+[0,0,0,0], goal xcl[-1] (~[201.45, 0, 0, -0.5236] at dt=1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ilqr_iterative_tasks_tpu.constants import X_DIM, U_DIM
+from ilqr_iterative_tasks_tpu.models import kinetic_bicycle as dyn
+
+
+def seed_trajectory(dt: float):
+    """Returns (xcl (T+1, 4), ucl (T, 2)) with T = int(120/dt)."""
+    angle = np.pi / 6
+    total = int(120 / dt)
+    xs = [np.zeros(X_DIM)]
+    us = []
+    for i in range(total):
+        u = np.zeros(U_DIM)
+        if i <= 1 / dt:
+            u[0] = 1.0
+        elif total - 4 / dt <= i <= total - 3 / dt:
+            u[0] = -1.0
+        if 0 < i <= 1 / dt:
+            u[1] = angle
+        elif total / 2 - 2 / dt <= i <= total / 2 - 1 / dt:
+            u[1] = -angle
+        xs.append(np.asarray(
+            dyn.step(jnp.asarray(xs[-1]), jnp.asarray(u), dt), dtype=np.float64))
+        us.append(u)
+    return np.stack(xs), np.stack(us)

@@ -1,0 +1,18 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh with f64.
+
+- CPU: the single real TPU chip is reserved for benches; correctness tests run
+  on host with an 8-device virtual platform for sharding tests.
+- x64: the reference is float64 NumPy; parity tests compare at f64. Code under
+  test passes explicit dtypes, so f32 paths remain exercised where requested.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
