@@ -1,0 +1,283 @@
+"""Fully-jitted batched i2LQR lap simulation — the TPU throughput path.
+
+Runs the COMPLETE iterative task (seed lap -> L learning laps of closed-loop
+i2LQR control with safe-set growth) as one compiled XLA program over
+fixed-shape tensors, so thousands of scenarios vmap across a chip and
+shard_map across a pod (parallel/).
+
+Behavioral parity with the host controller (control/i2lqr.py, which itself
+mirrors /root/reference/iterative_ilqr/utils/base.py:305-479 and :693-726):
+- 3-pass outer relaxation (static unroll), kNN re-centering, relaxed
+  reachability costs 80*i/10^pass (base.py:427-437),
+- lexicographic list-min across safe-set iterations (base.py:462) — computed
+  exactly with a vectorized first-difference comparison,
+- horizon shrink when the chosen candidate is a lap's final point, followed by
+  stored-input shrinking-horizon replay (base.py:377-382, :472-478),
+- lap termination ||x - goal|| <= 0.8, 121-step budget (base.py:708-715;
+  ``sim_step_budget`` shrinks it for dry runs),
+- goal row appended to the recorded lap before learning
+  (tests/ilqr_test.py:51 CI variant),
+- clipped-Gaussian plant noise via explicit PRNG keys (base.py:197-213).
+
+Design notes (jit/vmap semantics):
+- The per-step replay-vs-solve branch uses lax.cond; under vmap both branches
+  execute for all lanes, wasting the solve on the few replay steps at lap end
+  — accepted (<=N_horizon-1 steps per lap).
+- The per-lap while_loop under vmap iterates until every lane finishes its
+  lap; lanes that finish early idle via masking.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ilqr_iterative_tasks_tpu.control.safe_set import DeviceSafeSet
+from ilqr_iterative_tasks_tpu.models import kinetic_bicycle as dyn
+from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+from ilqr_iterative_tasks_tpu.ops.ilqr import ilqr_solve
+from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
+
+
+def lexicographic_argmin(cost_rows: jnp.ndarray, row_valid: jnp.ndarray):
+    """Index of the lexicographically smallest row (base.py:462 semantics:
+    ``cost_list.index(min(cost_list))`` on a list of per-lap cost lists).
+
+    cost_rows: (L, K); row_valid: (L,) — invalid rows never win.
+    """
+    num_rows = cost_rows.shape[0]
+
+    def less(a, b):
+        # lexicographic a < b for equal-length vectors
+        diff = a != b
+        any_diff = jnp.any(diff)
+        first = jnp.argmax(diff)
+        return jnp.where(any_diff, a[first] < b[first], False)
+
+    def body(i, best_idx):
+        a = cost_rows[i]
+        b = cost_rows[best_idx]
+        take = row_valid[i] & (~row_valid[best_idx] | less(a, b))
+        return jnp.where(take, i, best_idx)
+
+    return jax.lax.fori_loop(1, num_rows, body, jnp.asarray(0))
+
+
+@struct.dataclass
+class ScenarioSpec:
+    """Per-scenario randomization: initial state offset, obstacle, noise."""
+
+    x0: jnp.ndarray  # (4,)
+    obstacle: Obstacle
+    goal: jnp.ndarray  # (4,)
+    noise_key: jnp.ndarray  # PRNG key
+    noise_on: jnp.ndarray  # 0.0 / 1.0
+
+
+class BatchedRunResult(NamedTuple):
+    lap_steps: jnp.ndarray  # (num_laps,) closed-loop steps per learning lap
+    lap_done: jnp.ndarray  # (num_laps,) bool: goal reached within budget
+    safe_set: DeviceSafeSet
+    final_x: jnp.ndarray
+
+
+def _relaxed_cost(dist, q_term, num_horizon, outer: int, max_relax: int):
+    """Vectorized base.py:427-437 (see control/i2lqr.py:relaxed_reach_cost)."""
+    unit = 80.0 / (10 ** outer)
+    i = jnp.maximum(jnp.ceil(dist / unit - 1e-12), 1.0)
+    cost = q_term + num_horizon + 100.0 * i
+    return jnp.where(dist <= unit * max_relax, cost, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
+                                   "goal_append", "sim_step_budget"))
+def simulate_learning_run(params: IlqrParams, limits: SystemLimits,
+                          scenario: ScenarioSpec, seed_xs: jnp.ndarray,
+                          seed_us: jnp.ndarray, seed_len, dt,
+                          *, num_laps: int, max_steps: int = 128,
+                          max_laps: int = 16, goal_append: bool = True,
+                          sim_step_budget: int = 121) -> BatchedRunResult:
+    """Seed the safe set, then run ``num_laps`` closed-loop learning laps.
+
+    seed_xs: (max_steps, 4) padded seed lap; seed_us: (max_steps, 2);
+    seed_len: true number of seed states. ``params`` is a pytree whose
+    structural fields (horizon, candidate counts) live in the treedef, so a
+    config change retraces exactly once. All shapes fixed; scenario leaves
+    batch via vmap.
+    """
+    n = params.num_horizon
+    k = params.num_ss_points
+    dtype = seed_xs.dtype
+    dt = jnp.asarray(dt, dtype)
+    goal_tol = 0.8
+
+    ss0 = DeviceSafeSet.empty(max_laps, max_steps, dtype=dtype)
+    ss0 = ss0.add_lap(seed_xs, seed_us, seed_len)
+
+    def solve_step(ss: DeviceSafeSet, x, obstacle):
+        """One full i2LQR calc_input at full horizon. Returns
+        (u, u_old buffer, shrink flag)."""
+        num_ss_iter = params.num_ss_iter
+        it = ss.num_laps
+
+        def one_pass(outer: int, x_guess):
+            lap_rows_cost = []
+            lap_rows_valid = []
+            sols_all = []
+            idx_all = []
+            lap_ids = []
+            for off in range(num_ss_iter):
+                lap_id = it - num_ss_iter + off
+                lap_ok = lap_id >= 0
+                lap_id_c = jnp.clip(lap_id, 0, max_laps - 1)
+                idx, x_terms, q_terms = ss.knn(lap_id_c, x_guess, k)
+                sols = jax.vmap(
+                    lambda xt: ilqr_solve(params, limits, obstacle, x, xt,
+                                          jnp.zeros((n, 2), dtype), params.lamb,
+                                          dt, num_horizon=n))(x_terms)
+                d = jnp.linalg.norm(sols.xs[:, -1, :] - x_terms, axis=-1)
+                cost = _relaxed_cost(d, q_terms, float(n), outer,
+                                     params.max_relax_iter)
+                lap_rows_cost.append(cost)
+                lap_rows_valid.append(lap_ok)
+                sols_all.append(sols)
+                idx_all.append(idx)
+                lap_ids.append(lap_id_c)
+            cost_rows = jnp.stack(lap_rows_cost)  # (L, K)
+            row_valid = jnp.stack(
+                [jnp.asarray(v) for v in lap_rows_valid])
+            best_row = lexicographic_argmin(cost_rows, row_valid)
+            best_col = jnp.argmin(cost_rows[best_row])
+            xs_stack = jnp.stack([s.xs for s in sols_all])  # (L, K, N+1, 4)
+            us_stack = jnp.stack([s.us for s in sols_all])  # (L, K, N, 2)
+            idx_stack = jnp.stack(idx_all)  # (L, K)
+            lap_id_stack = jnp.stack(lap_ids)  # (L,)
+            x_pred = xs_stack[best_row, best_col]
+            u_pred = us_stack[best_row, best_col]
+            chosen_idx = idx_stack[best_row, best_col]
+            chosen_lap = lap_id_stack[best_row]
+            return x_pred, u_pred, chosen_idx, chosen_lap
+
+        # pass 0 guesses the current state; passes 1-2 the previous best x_N
+        x_pred, u_pred, chosen_idx, chosen_lap = one_pass(0, x)
+        x_pred, u_pred, chosen_idx, chosen_lap = one_pass(1, x_pred[-1])
+        x_pred, u_pred, chosen_idx, chosen_lap = one_pass(2, x_pred[-1])
+        # horizon shrink when the chosen candidate is its lap's last point
+        shrink = (chosen_idx + 1) > (ss.lap_len[chosen_lap] - 1)
+        u = u_pred[0]
+        # replay buffer = u_pred shifted by one (base.py:471)
+        u_old = jnp.concatenate([u_pred[1:], jnp.zeros((1, 2), dtype)], axis=0)
+        return u, u_old, shrink
+
+    def run_lap(ss: DeviceSafeSet, lap_i, key, obstacle0):
+        """One closed-loop lap. Returns (xs_rec, us_rec, steps, done, key)."""
+
+        def step_cond(c):
+            (x, t, done, *_rest) = c
+            return (t < sim_step_budget) & ~done
+
+        def step_body(c):
+            (x, t, done, obstacle, horizon_left, replay_pos, u_old, xs_rec,
+             us_rec, key) = c
+            in_replay = horizon_left < n
+
+            def do_solve(_):
+                u, u_old_new, shrink = solve_step(ss, x, obstacle)
+                hl = jnp.where(shrink, horizon_left - 1, horizon_left)
+                return u, u_old_new, hl, jnp.asarray(0)
+
+            def do_replay(_):
+                p = jnp.clip(replay_pos, 0, n - 1)
+                return u_old[p], u_old, horizon_left - 1, replay_pos + 1
+
+            u, u_old_new, horizon_left_new, replay_pos_new = jax.lax.cond(
+                in_replay, do_replay, do_solve, operand=None)
+            # plant step + clipped Gaussian noise (base.py:197-213)
+            x_next = dyn.step(x, u, dt)
+            key, k1, k2 = jax.random.split(key, 3)
+            noise_v = jnp.clip(jax.random.normal(k1, dtype=dtype) * 0.01,
+                               -0.05, 0.05)
+            noise_th = jnp.clip(jax.random.normal(k2, dtype=dtype) * 0.005,
+                                -0.05, 0.05)
+            x_next = x_next.at[2].add(0.5 * noise_v * scenario.noise_on)
+            x_next = x_next.at[3].add(0.5 * noise_th * scenario.noise_on)
+            obstacle = obstacle.advance(dt)
+            t_next = t + 1
+            xs_rec = xs_rec.at[t_next].set(x_next)
+            us_rec = us_rec.at[t].set(u)
+            done_next = jnp.linalg.norm(x_next - scenario.goal) <= goal_tol
+            return (x_next, t_next, done_next, obstacle, horizon_left_new,
+                    replay_pos_new, u_old_new, xs_rec, us_rec, key)
+
+        xs_rec = jnp.zeros((max_steps, 4), dtype)
+        us_rec = jnp.zeros((max_steps, 2), dtype)
+        xs_rec = xs_rec.at[0].set(scenario.x0)
+        init = (scenario.x0, jnp.asarray(0), jnp.asarray(False), obstacle0,
+                jnp.asarray(n), jnp.asarray(0), jnp.zeros((n, 2), dtype),
+                xs_rec, us_rec, key)
+        (x, t, done, _obs, _hl, _rp, _uo, xs_rec, us_rec, key) = (
+            jax.lax.while_loop(step_cond, step_body, init))
+        return xs_rec, us_rec, t, done, key
+
+    def lap_loop(lap_i, carry):
+        ss, key, lap_steps, lap_done, x_last = carry
+        xs_rec, us_rec, t, done, key = run_lap(ss, lap_i, key,
+                                               scenario.obstacle)
+        # goal fixup before learning (tests/ilqr_test.py:51): append the goal
+        # as one extra state row (n_valid = t + 2)
+        if goal_append:
+            xs_rec = xs_rec.at[t + 1].set(scenario.goal)
+            n_valid = t + 2
+        else:
+            xs_rec = xs_rec.at[t].set(scenario.goal)
+            n_valid = t + 1
+        ss = ss.add_lap(xs_rec, us_rec, n_valid)
+        lap_steps = lap_steps.at[lap_i].set(t)
+        lap_done = lap_done.at[lap_i].set(done)
+        return ss, key, lap_steps, lap_done, xs_rec[t]
+
+    init = (ss0, scenario.noise_key,
+            jnp.zeros((num_laps,), jnp.int32),
+            jnp.zeros((num_laps,), bool),
+            scenario.x0)
+    ss, key, lap_steps, lap_done, x_last = jax.lax.fori_loop(
+        0, num_laps, lap_loop, init)
+    return BatchedRunResult(lap_steps=lap_steps, lap_done=lap_done,
+                            safe_set=ss, final_x=x_last)
+
+
+def make_batch_scenarios(base_x0, goal, obstacle: Obstacle, batch: int,
+                         key, x0_jitter: float = 0.0, noise_on: bool = False,
+                         dtype=jnp.float32) -> ScenarioSpec:
+    """Build a vmappable batch of randomized scenarios."""
+    keys = jax.random.split(key, batch + 1)
+    x0 = jnp.asarray(base_x0, dtype)[None, :].repeat(batch, axis=0)
+    if x0_jitter > 0:
+        x0 = x0 + x0_jitter * jax.random.normal(keys[0], (batch, 4), dtype)
+    rep = lambda v: jnp.broadcast_to(v, (batch,) + jnp.shape(v)).copy()
+    obs_b = jax.tree_util.tree_map(rep, obstacle)
+    return ScenarioSpec(
+        x0=x0,
+        obstacle=obs_b,
+        goal=jnp.broadcast_to(jnp.asarray(goal, dtype), (batch, 4)).copy(),
+        noise_key=keys[1:],
+        noise_on=jnp.full((batch,), 1.0 if noise_on else 0.0, dtype),
+    )
+
+
+def simulate_learning_batch(params: IlqrParams, limits: SystemLimits,
+                            scenarios: ScenarioSpec, seed_xs, seed_us,
+                            seed_len, dt, *, num_laps: int,
+                            max_steps: int = 128, max_laps: int = 16,
+                            goal_append: bool = True,
+                            sim_step_budget: int = 121) -> BatchedRunResult:
+    """vmap of simulate_learning_run over a scenario batch (one chip)."""
+    fn = lambda sc: simulate_learning_run(
+        params, limits, sc, seed_xs, seed_us, seed_len, dt,
+        num_laps=num_laps, max_steps=max_steps, max_laps=max_laps,
+        goal_append=goal_append, sim_step_budget=sim_step_budget)
+    return jax.vmap(fn)(scenarios)

@@ -1,0 +1,149 @@
+"""Tests for the constrained NLMPC path: AL-iLQR + LM-shooting solvers and the
+closed-loop controller (base.py:514-690 semantics).
+
+No IPOPT exists in this environment, so solver-level parity is established
+against (a) exactly-reachable rollout targets and (b) behavioral invariants:
+monotone non-increasing lap times and convergence near the physical optimum
+(the 201.45 m task with a_max = 2 and a v~=0 goal needs >= ~21 steps)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ilqr_iterative_tasks_tpu.control.nlmpc import NlmpcController
+from ilqr_iterative_tasks_tpu.experiments.runner import (
+    default_obstacle, run_closed_loop)
+from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+from ilqr_iterative_tasks_tpu.ops.al_ilqr import al_ilqr_solve, _boxqp_2x2
+from ilqr_iterative_tasks_tpu.ops.ilqr import rollout
+from ilqr_iterative_tasks_tpu.ops.lm_shooting import lm_feasibility_solve
+from ilqr_iterative_tasks_tpu.utils.params import LmpcParams, SystemLimits
+
+DT = jnp.float64
+
+
+@pytest.fixture
+def limits():
+    return SystemLimits.make(dtype=DT)
+
+
+def test_boxqp_2x2_against_bruteforce():
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        m = rng.normal(size=(2, 2))
+        quu = m @ m.T + 0.1 * np.eye(2)  # PD
+        qu = rng.normal(size=2)
+        lo = -np.abs(rng.normal(size=2)) - 0.1
+        hi = np.abs(rng.normal(size=2)) + 0.1
+        du, free = _boxqp_2x2(jnp.asarray(quu), jnp.asarray(qu),
+                              jnp.asarray(lo), jnp.asarray(hi))
+        # dense grid brute force
+        g0 = np.linspace(lo[0], hi[0], 201)
+        g1 = np.linspace(lo[1], hi[1], 201)
+        gg0, gg1 = np.meshgrid(g0, g1)
+        pts = np.stack([gg0.ravel(), gg1.ravel()], axis=1)
+        objs = 0.5 * np.einsum("ki,ij,kj->k", pts, quu, pts) + pts @ qu
+        got = 0.5 * np.asarray(du) @ quu @ np.asarray(du) + np.asarray(du) @ qu
+        assert got <= objs.min() + 1e-6
+        assert np.all(np.asarray(du) >= lo - 1e-9)
+        assert np.all(np.asarray(du) <= hi + 1e-9)
+
+
+@pytest.mark.parametrize("solver", ["lm", "al"])
+def test_reachable_target_is_feasible(limits, solver):
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    x0 = jnp.zeros(4, DT)
+    us_true = jnp.asarray([[2, 0.35], [2, 0.1], [2, -0.15],
+                           [2, -0.2], [2, -0.1], [2, 0.0]], dtype=DT)
+    x_term = rollout(x0, us_true, 1.0)[-1]
+    warm = us_true + 0.1
+    if solver == "lm":
+        sol = lm_feasibility_solve(limits, obstacle, x0, x_term, warm, 1.0,
+                                   num_horizon=6)
+    else:
+        sol = al_ilqr_solve(limits, obstacle, x0, x_term, warm, 1.0,
+                            num_horizon=6)
+    assert bool(sol.feasible)
+    assert float(sol.term_err) <= 1e-4
+    assert float(sol.max_violation) <= 1e-4
+
+
+@pytest.mark.parametrize("solver", ["lm", "al"])
+def test_unreachable_target_is_infeasible(limits, solver):
+    obstacle = Obstacle.absent(dtype=DT)
+    x0 = jnp.zeros(4, DT)
+    x_term = jnp.asarray([200.0, 0.0, 0.0, 0.0], DT)  # needs a >> a_max
+    u0 = jnp.zeros((6, 2), DT)
+    if solver == "lm":
+        sol = lm_feasibility_solve(limits, obstacle, x0, x_term, u0, 1.0,
+                                   num_horizon=6)
+    else:
+        sol = al_ilqr_solve(limits, obstacle, x0, x_term, u0, 1.0,
+                            num_horizon=6)
+    assert not bool(sol.feasible)
+
+
+def test_lm_solver_respects_bounds_and_obstacle(limits):
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    x0 = jnp.zeros(4, DT)
+    us_true = jnp.asarray([[2, 0.35], [2, 0.1], [2, -0.15],
+                           [2, -0.2], [2, -0.1], [2, 0.0]], dtype=DT)
+    x_term = rollout(x0, us_true, 1.0)[-1]
+    sol = lm_feasibility_solve(limits, obstacle, x0, x_term,
+                               jnp.zeros((6, 2), DT), 1.0, num_horizon=6)
+    assert bool(sol.feasible)  # multi-start cracks the cold start
+    assert float(jnp.max(jnp.abs(sol.us[:, 0]))) <= 2.0 + 1e-9
+    assert float(jnp.max(jnp.abs(sol.us[:, 1]))) <= float(np.pi / 2) + 1e-9
+    # every interior state outside the ellipse
+    mid = np.asarray(sol.xs[1:-1])
+    vals = ((mid[:, 0] - 31.0) ** 2 / 64.0 + (mid[:, 1] + 2.0) ** 2 / 36.0)
+    assert np.all(vals >= 1.0 - 1e-3)
+
+
+def test_moving_obstacle_constraint_extrapolates(limits):
+    # moving-up obstacle: constraint centers shift by i*spd along the horizon
+    obstacle = Obstacle.make(10.0, -6.0, 3.0, 3.0, spd=2.0, moving_option=1,
+                             dtype=DT)
+    x0 = jnp.zeros(4, DT)
+    us_true = jnp.asarray([[2, -0.2], [2, -0.1], [2, 0.1],
+                           [2, 0.1], [1, 0.05], [0, 0.05]], dtype=DT)
+    x_term = rollout(x0, us_true, 1.0)[-1]
+    sol = lm_feasibility_solve(limits, obstacle, x0, x_term,
+                               us_true + 0.05, 1.0, num_horizon=6)
+    mid = np.asarray(sol.xs[1:-1])
+    for i, row in enumerate(mid, start=1):
+        cy = -6.0 + 2.0 * i
+        val = (row[0] - 10.0) ** 2 / 9.0 + (row[1] - cy) ** 2 / 9.0
+        assert val >= 1.0 - 1e-3 or not bool(sol.feasible)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("ss_option", ["space", "all"])
+def test_nlmpc_closed_loop_converges(ss_option):
+    if ss_option == "all":
+        params = LmpcParams.make(all_ss_point=True, all_ss_iter=True)
+        laps = 4
+    else:
+        params = LmpcParams.make(ss_option="spaceVarying")
+        laps = 6
+    ctrl = NlmpcController(params, obstacle=default_obstacle(1.0),
+                           dtype=jnp.float64)
+    res = run_closed_loop(ctrl, lap_number=laps, dt=1.0, goal_fixup=None)
+    assert all(res.lap_finished)
+    times = res.lap_times
+    assert all(b <= a for a, b in zip(times, times[1:]))  # monotone
+    assert times[-1] <= 25.0  # near the ~21-step physical optimum
+    assert times[-1] >= 20.0  # sanity: not violating physics
+
+
+@pytest.mark.slow
+def test_nlmpc_time_varying_progresses():
+    params = LmpcParams.make(ss_option="timeVarying")
+    ctrl = NlmpcController(params, obstacle=default_obstacle(1.0),
+                           dtype=jnp.float64)
+    res = run_closed_loop(ctrl, lap_number=3, dt=1.0, goal_fixup=None)
+    assert all(res.lap_finished)
+    t = res.all_lap_times
+    # advancing-window LMPC improves by up to ~N-1 steps per lap
+    assert t[1] < t[0] and t[2] < t[1] and t[3] < t[2]
