@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched i2LQR lap-simulations per second on one chip.
+
+Runs the fully-jitted batch-native learning simulator (seed lap + 3 learning
+laps of closed-loop i2LQR with safe-set growth, plant noise on) for a large
+scenario batch and reports throughput as ONE JSON line:
+
+    {"metric": "i2lqr_lap_sims_per_s_per_chip", "value": ..., "unit":
+     "lap_sims/s", "vs_baseline": ...}
+
+vs_baseline is measured against the north-star target of 1000 batched
+lap-simulations/s on a v4-16 (BASELINE.md) — i.e. vs_baseline = value / 1000,
+achieved here on a single chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        SoaScenarios, simulate_learning_runs_soa)
+    from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+    from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+    from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
+
+    on_tpu = jax.default_backend() == "tpu"
+    batch = 32768 if on_tpu else 64
+    num_laps = 3
+    dtype = jnp.float32
+
+    params = IlqrParams.make(dtype=dtype)
+    limits = SystemLimits.make(dtype=dtype)
+    xcl, ucl = seed_trajectory(1.0)
+    max_steps = 128
+    seed_xs = jnp.zeros((max_steps, 4), dtype).at[:121].set(
+        jnp.asarray(xcl, dtype))
+    seed_us = jnp.zeros((max_steps, 2), dtype).at[:120].set(
+        jnp.asarray(ucl, dtype))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
+    scenarios = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, batch,
+                                       noise_on=True, dtype=dtype)
+    kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
+              solver_max_iter=40)
+
+    def run(seed):
+        res = simulate_learning_runs_soa(
+            params, limits, scenarios, seed_xs, seed_us, 121, 1.0,
+            jax.random.PRNGKey(seed), **kw)
+        jax.block_until_ready(res)
+        return res
+
+    res = run(0)  # compile + warm
+    done_frac = float(np.asarray(res.lap_done, dtype=np.float32).mean())
+    times = []
+    for rep in range(1, 3):
+        t0 = time.perf_counter()
+        run(rep)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    value = batch * num_laps / best
+    print(json.dumps({
+        "metric": "i2lqr_lap_sims_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "lap_sims/s",
+        "vs_baseline": round(value / 1000.0, 3),
+        "extras": {
+            "batch": batch,
+            "num_laps": num_laps,
+            "lap_completion_rate": round(done_frac, 4),
+            "backend": jax.default_backend(),
+            "seconds_per_batch": round(best, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,304 @@
+"""Batch-native (structure-of-arrays) i2LQR learning simulator — the
+production throughput path for TPU.
+
+Same closed-loop semantics as control/batched.py (which documents the parity
+map against /root/reference/iterative_ilqr/utils/base.py:305-479, :693-726),
+but the scenario batch B is an explicit TRAILING axis of every tensor instead
+of a vmapped leading axis. Combined with ops/ilqr_soa.py this keeps the TPU
+lane dimension filled by the batch (vmap's leading-axis layout pads the tiny
+trailing state dims 4 -> 128 and was measured 60x slower at scale).
+
+Batch-relevant semantics:
+- All B scenarios run in lockstep; a lane that finishes its lap freezes (done
+  masking) until every lane finishes or the step budget runs out.
+- Lap counting is global (every lane records a lap each lap round, as in the
+  reference driver loop, tests/ilqr_test.py:56-60).
+- Plant noise: iid per lane per step from one PRNG stream (clipped Gaussian,
+  base.py:197-213), gated by scenarios.noise_on.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+from ilqr_iterative_tasks_tpu.ops.ilqr_soa import ilqr_solve_soa, step_soa
+from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
+
+
+@struct.dataclass
+class SoaScenarios:
+    """Scenario batch, batch-trailing: x0/goal (4, B); obstacle leaves (B,)."""
+
+    x0: jnp.ndarray
+    goal: jnp.ndarray
+    obstacle: Obstacle
+    noise_on: jnp.ndarray  # (B,)
+
+    @classmethod
+    def broadcast(cls, x0, goal, obstacle: Obstacle, batch: int,
+                  noise_on=False, dtype=jnp.float32):
+        rep = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), (batch,))
+        obs_b = jax.tree_util.tree_map(rep, obstacle)
+        return cls(
+            x0=jnp.broadcast_to(jnp.asarray(x0, dtype)[:, None], (4, batch)),
+            goal=jnp.broadcast_to(jnp.asarray(goal, dtype)[:, None], (4, batch)),
+            obstacle=obs_b,
+            noise_on=jnp.full((batch,), 1.0 if noise_on else 0.0, dtype),
+        )
+
+
+class SoaRunResult(NamedTuple):
+    lap_steps: jnp.ndarray  # (num_laps, B)
+    lap_done: jnp.ndarray  # (num_laps, B)
+    final_x: jnp.ndarray  # (4, B)
+
+
+def _gather_cols(arr_tb, idx_bk):
+    """arr_tb: (T, B), idx_bk: (B, K) -> (K, B) gathered along T per lane."""
+    out = jnp.take_along_axis(arr_tb.T, idx_bk, axis=1)  # (B, K)
+    return out.T
+
+
+def _lex_argmin_rows(cost_rows):
+    """Per-lane lexicographic row argmin. cost_rows: (L, K, B) -> (B,) int.
+
+    Mirrors Python's min() over a list of per-lap cost lists (base.py:462).
+    """
+    num_rows = cost_rows.shape[0]
+    best = jnp.zeros(cost_rows.shape[-1], dtype=jnp.int32)
+
+    def row(i_arr):
+        # gather row per lane: (K, B) given per-lane row indices (B,)
+        return jnp.take_along_axis(
+            cost_rows, i_arr[None, None, :].astype(jnp.int32), axis=0)[0]
+
+    for i in range(1, num_rows):
+        a = cost_rows[i]  # (K, B)
+        b = row(best)  # (K, B)
+        diff = a != b
+        any_diff = jnp.any(diff, axis=0)
+        first = jnp.argmax(diff, axis=0)  # (B,)
+        a_first = jnp.take_along_axis(a, first[None, :], axis=0)[0]
+        b_first = jnp.take_along_axis(b, first[None, :], axis=0)[0]
+        less = jnp.where(any_diff, a_first < b_first, False)
+        best = jnp.where(less, i, best)
+    return best
+
+
+@partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
+                                   "goal_append", "sim_step_budget",
+                                   "solver_max_iter"))
+def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
+                               scenarios: SoaScenarios, seed_xs, seed_us,
+                               seed_len, dt, key, *, num_laps: int,
+                               max_steps: int = 128, max_laps: int = 16,
+                               goal_append: bool = True,
+                               sim_step_budget: int = 121,
+                               solver_max_iter: int | None = None
+                               ) -> SoaRunResult:
+    """Seed + ``num_laps`` learning laps for B scenarios, batch-trailing.
+
+    seed_xs: (max_steps, 4) shared seed lap (padded); seed_us: (max_steps, 2);
+    seed_len: scalar count of seed states. ``solver_max_iter`` caps the
+    lockstep LM iterations of the candidate solver (None = reference's 150).
+    """
+    n = params.num_horizon
+    k = params.num_ss_points
+    nsi = params.num_ss_iter
+    dtype = seed_xs.dtype
+    b = scenarios.x0.shape[-1]
+    dt = jnp.asarray(dt, dtype)
+    goal_tol = 0.8
+
+    # ---- safe set, batch-trailing ----
+    ss_states = jnp.zeros((max_laps, max_steps, 4, b), dtype)
+    ss_qfun = jnp.zeros((max_laps, max_steps, b), dtype)
+    ss_valid = jnp.zeros((max_laps, max_steps, b), dtype=bool)
+    ss_lap_len = jnp.zeros((max_laps, b), jnp.int32)
+
+    t_idx = jnp.arange(max_steps)
+
+    def add_lap(ss, slot, xs_rec, n_valid):
+        """xs_rec: (max_steps, 4, B); n_valid: (B,)."""
+        states, qfun, valid, lap_len = ss
+        valid_row = t_idx[:, None] < n_valid[None, :]
+        qfun_row = jnp.maximum(
+            n_valid[None, :].astype(dtype) - 1.0
+            - t_idx[:, None].astype(dtype), 0.0)
+        return (states.at[slot].set(xs_rec),
+                qfun.at[slot].set(qfun_row),
+                valid.at[slot].set(valid_row),
+                lap_len.at[slot].set(n_valid.astype(jnp.int32)))
+
+    seed_rec = jnp.broadcast_to(seed_xs[:, :, None], (max_steps, 4, b))
+    ss0 = add_lap((ss_states, ss_qfun, ss_valid, ss_lap_len), 0, seed_rec,
+                  jnp.full((b,), seed_len, jnp.int32))
+
+    def solve_step(ss, lap_count, x, obstacle):
+        """One i2LQR calc_input for all B lanes.
+
+        x: (4, B). Returns u (2, B), u_old (N, 2, B), shrink (B,)."""
+        states, qfun, valid, lap_len = ss
+
+        def one_pass(outer: int, x_guess):
+            rows_cost, rows_sol_us, rows_sol_xN, rows_idx, rows_lap = \
+                [], [], [], [], []
+            row_ok = []
+            for off in range(nsi):
+                lap_id = lap_count - nsi + off
+                lap_ok = lap_id >= 0
+                lap_id_c = jnp.clip(lap_id, 0, max_laps - 1)
+                st = states[lap_id_c]  # (T, 4, B)
+                dist = (jnp.abs(st[:, 0] - x_guess[0][None])
+                        + jnp.abs(st[:, 1] - x_guess[1][None])
+                        + jnp.abs(st[:, 2] - x_guess[2][None])
+                        + jnp.abs(st[:, 3] - x_guess[3][None]))  # (T, B)
+                dist = jnp.where(valid[lap_id_c], dist, jnp.inf)
+                _, idx_bk = jax.lax.top_k(-dist.T, k)  # (B, K)
+                x_terms = jnp.stack(
+                    [_gather_cols(st[:, i], idx_bk) for i in range(4)])  # (4,K,B)
+                q_terms = _gather_cols(qfun[lap_id_c], idx_bk)  # (K, B)
+                x0b = jnp.broadcast_to(x[:, None, :], (4, k, b))
+                sol = ilqr_solve_soa(
+                    params, limits, obstacle, x0b, x_terms,
+                    jnp.zeros((n, 2, k, b), dtype), params.lamb, dt,
+                    num_horizon=n, max_iter=solver_max_iter)
+                d = jnp.sqrt(sum((sol.xs[-1][i] - x_terms[i]) ** 2
+                                 for i in range(4)))  # (K, B)
+                unit = 80.0 / (10 ** outer)
+                i_rel = jnp.maximum(jnp.ceil(d / unit - 1e-12), 1.0)
+                cost = jnp.where(d <= unit * params.max_relax_iter,
+                                 q_terms + float(n) + 100.0 * i_rel, jnp.inf)
+                cost = jnp.where(lap_ok, cost, jnp.inf)
+                rows_cost.append(cost)
+                rows_sol_us.append(sol.us)  # (N, 2, K, B)
+                rows_sol_xN.append(sol.xs)  # (N+1, 4, K, B)
+                rows_idx.append(idx_bk.T)  # (K, B)
+                rows_lap.append(jnp.full((b,), lap_id_c, jnp.int32))
+                row_ok.append(lap_ok)
+            cost_rows = jnp.stack(rows_cost)  # (L, K, B)
+            best_row = _lex_argmin_rows(cost_rows)  # (B,)
+            row_cost = jnp.take_along_axis(
+                cost_rows, best_row[None, None, :].astype(jnp.int32),
+                axis=0)[0]  # (K, B)
+            best_col = jnp.argmin(row_cost, axis=0)  # (B,)
+
+            def pick(stacked):
+                """stacked: (L, ..., K, B) -> (..., B) at (best_row, best_col)."""
+                r = jnp.take_along_axis(
+                    stacked,
+                    best_row.reshape((1,) * (stacked.ndim - 1) + (b,)).astype(
+                        jnp.int32), axis=0)[0]  # (..., K, B)
+                return jnp.take_along_axis(
+                    r, best_col.reshape((1,) * (r.ndim - 2) + (1, b)).astype(
+                        jnp.int32), axis=-2)[..., 0, :]
+
+            us_sel = pick(jnp.stack(rows_sol_us))  # (N, 2, B)
+            xs_sel = pick(jnp.stack(rows_sol_xN))  # (N+1, 4, B)
+            idx_sel = pick(jnp.stack(rows_idx))  # (B,)
+            lap_sel = jnp.take_along_axis(
+                jnp.stack(rows_lap), best_row[None, :].astype(jnp.int32),
+                axis=0)[0]  # (B,)
+            return xs_sel, us_sel, idx_sel, lap_sel
+
+        xg = tuple(x[i] for i in range(4))
+        xs_p, us_p, idx_c, lap_c = one_pass(0, xg)
+        xs_p, us_p, idx_c, lap_c = one_pass(1, tuple(xs_p[-1][i] for i in range(4)))
+        xs_p, us_p, idx_c, lap_c = one_pass(2, tuple(xs_p[-1][i] for i in range(4)))
+        chosen_len = jnp.take_along_axis(lap_len, lap_c[None, :], axis=0)[0]
+        shrink = (idx_c + 1) > (chosen_len - 1)
+        u = us_p[0]  # (2, B)
+        u_old = jnp.concatenate([us_p[1:], jnp.zeros((1, 2, b), dtype)], axis=0)
+        return u, u_old, shrink
+
+    def run_lap(ss, lap_count, key):
+        def step_cond(c):
+            (x, t, done, *_r) = c
+            return jnp.any((t < sim_step_budget) & ~done)
+
+        def step_body(c):
+            (x, t, done, obstacle, horizon_left, replay_pos, u_old, xs_rec,
+             key) = c
+            in_replay = horizon_left < n  # (B,)
+            u_solve, u_old_new, shrink = solve_step(ss, lap_count, x, obstacle)
+            # replay branch: stored input at replay_pos per lane
+            p = jnp.clip(replay_pos, 0, n - 1)
+            u_replay = jnp.take_along_axis(
+                u_old, p[None, None, :].astype(jnp.int32), axis=0)[0]  # (2,B)
+            u = jnp.where(in_replay[None, :], u_replay, u_solve)
+            u_old_next = jnp.where(in_replay[None, None, :], u_old, u_old_new)
+            horizon_next = jnp.where(
+                in_replay, horizon_left - 1,
+                jnp.where(shrink, horizon_left - 1, horizon_left))
+            replay_next = jnp.where(in_replay, replay_pos + 1, replay_pos)
+            # plant step + noise
+            x_next = jnp.stack(step_soa(tuple(x[i] for i in range(4)),
+                                        (u[0], u[1]), dt))
+            key, k1, k2 = jax.random.split(key, 3)
+            noise_v = jnp.clip(jax.random.normal(k1, (b,), dtype) * 0.01,
+                               -0.05, 0.05)
+            noise_th = jnp.clip(jax.random.normal(k2, (b,), dtype) * 0.005,
+                                -0.05, 0.05)
+            x_next = x_next.at[2].add(0.5 * noise_v * scenarios.noise_on)
+            x_next = x_next.at[3].add(0.5 * noise_th * scenarios.noise_on)
+            obstacle_next = obstacle.advance(dt)
+            # freeze finished lanes
+            x_next = jnp.where(done[None, :], x, x_next)
+            obstacle_next = jax.tree_util.tree_map(
+                lambda a, bo: jnp.where(done, a, bo), obstacle, obstacle_next)
+            t_next = jnp.where(done, t, t + 1)
+            horizon_next = jnp.where(done, horizon_left, horizon_next)
+            replay_next = jnp.where(done, replay_pos, replay_next)
+            u_old_next = jnp.where(done[None, None, :], u_old, u_old_next)
+            # per-lane scatter: row t_next of each active lane <- x_next
+            onehot = (t_idx[:, None] == t_next[None, :]) & (~done)[None, :]
+            xs_rec = jnp.where(onehot[:, None, :], x_next[None, :, :], xs_rec)
+            reach = jnp.sqrt(sum((x_next[i] - scenarios.goal[i]) ** 2
+                                 for i in range(4))) <= goal_tol
+            done_next = done | ((~done) & reach)
+            return (x_next, t_next, done_next, obstacle_next, horizon_next,
+                    replay_next, u_old_next, xs_rec, key)
+
+        xs_rec = jnp.zeros((max_steps, 4, b), dtype)
+        xs_rec = xs_rec.at[0].set(scenarios.x0)
+        init = (scenarios.x0, jnp.zeros((b,), jnp.int32),
+                jnp.zeros((b,), bool), scenarios.obstacle,
+                jnp.full((b,), n, jnp.int32), jnp.zeros((b,), jnp.int32),
+                jnp.zeros((n, 2, b), dtype), xs_rec, key)
+        (x, t, done, _obs, _hl, _rp, _uo, xs_rec, key) = jax.lax.while_loop(
+            step_cond, step_body, init)
+        return xs_rec, t, done, key
+
+    def _set_goal(xs_rec, pos, goal):
+        """xs_rec: (T, 4, B); pos: (B,); goal: (4, B). Set row ``pos`` per lane."""
+        onehot = (t_idx[:, None] == pos[None, :])  # (T, B)
+        return jnp.where(onehot[:, None, :], goal[None, :, :], xs_rec)
+
+    def lap_loop(lap_i, carry):
+        ss, key, lap_steps, lap_done = carry
+        lap_count = lap_i + 1  # safe set holds seed + lap_i learning laps
+        xs_rec, t, done, key = run_lap(ss, lap_count, key)
+        if goal_append:
+            # goal appended as an extra recorded row (tests/ilqr_test.py:51)
+            xs_rec = _set_goal(xs_rec, t + 1, scenarios.goal)
+            n_valid = t + 2
+        else:
+            # goal snapped onto the final row (iterative_ilqr tests variant)
+            xs_rec = _set_goal(xs_rec, t, scenarios.goal)
+            n_valid = t + 1
+        ss = add_lap(ss, lap_count, xs_rec, n_valid)
+        lap_steps = lap_steps.at[lap_i].set(t)
+        lap_done = lap_done.at[lap_i].set(done)
+        return ss, key, lap_steps, lap_done
+
+    init = (ss0, key, jnp.zeros((num_laps, b), jnp.int32),
+            jnp.zeros((num_laps, b), bool))
+    ss, key, lap_steps, lap_done = jax.lax.fori_loop(0, num_laps, lap_loop, init)
+    return SoaRunResult(lap_steps=lap_steps, lap_done=lap_done,
+                        final_x=scenarios.goal)

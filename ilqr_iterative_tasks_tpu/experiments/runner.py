@@ -40,12 +40,15 @@ def run_closed_loop(controller, lap_number: int, dt: float = 1.0,
                     zero_noise: bool = True, goal_fixup: str = "snap",
                     obstacle_schedule=None,
                     rng: Optional[np.random.Generator] = None,
+                    seed_safe_set: bool = True,
                     verbose: bool = False) -> RunResult:
     """Run seed lap + ``lap_number`` learning laps with any controller that
     implements the ControlBase API + add_trajectory.
 
     ``obstacle_schedule``: optional callable (lap_index, controller) -> None
     to inject/remove obstacles mid-run (result/ilqr_test_add_*_obstacle.py).
+    ``seed_safe_set=False`` skips the initial add_trajectory — for controllers
+    resumed from a checkpoint whose safe set is already populated.
     """
     xcl, ucl = seed_trajectory(dt)
     plant = BicyclePlant(rng=rng)
@@ -53,7 +56,8 @@ def run_closed_loop(controller, lap_number: int, dt: float = 1.0,
     plant.set_timestep(dt)
     if zero_noise:
         plant.set_zero_noise()
-    controller.add_trajectory(xcl, ucl)
+    if seed_safe_set:
+        controller.add_trajectory(xcl, ucl)
     controller.set_timestep(dt)
     plant.set_ctrl_policy(controller)
 

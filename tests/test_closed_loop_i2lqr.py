@@ -51,6 +51,23 @@ def test_five_lap_parity_f64():
     assert res.lap_times[-1] <= REF_LAP_TIMES[-1]
 
 
+@pytest.mark.slow
+def test_add_moving_obstacle_scenario_matches_reference_behavior():
+    """Reference ground truth (casadi-stub run, 2026-08-17, moving 'up'
+    geometry, obstacle injected lap 5 / removed lap 6, snap fixup):
+    [54, 28, 23, 23, 23, 43, 121-fail]. The post-injection laps are chaotic;
+    assert the pre-injection laps tightly and the injection response
+    qualitatively (slower lap, like the reference's 23 -> 43)."""
+    from ilqr_iterative_tasks_tpu.experiments import scenarios as scn
+    res = scn.run_scenario("ilqr", "add_moving_obstacle", lap_number=6,
+                           moving_option="up", save_dir=None)
+    t = res.lap_times
+    for got, want in zip(t[:5], [54, 28, 23, 23, 23]):
+        assert abs(got - want) <= 2, t
+    assert t[5] > t[4]  # injected moving obstacle slows the lap
+    assert all(res.lap_finished[:5])
+
+
 def test_three_lap_f32_still_converges():
     """f32 (TPU production dtype) must preserve closed-loop behavior."""
     params = IlqrParams.make(dtype=jnp.float32)

@@ -1,0 +1,89 @@
+"""Cross-validation of the native C++ solver library against the JAX solvers.
+
+The native library (native/ilqr_native.cpp) is the framework's embedded/host
+deployment path; it must agree with the JAX implementations bit-for-bit up to
+f64 rounding.
+"""
+
+import shutil
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+from ilqr_iterative_tasks_tpu.ops.ilqr import ilqr_solve, rollout
+from ilqr_iterative_tasks_tpu.ops.lm_shooting import lm_feasibility_solve
+from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+DT = jnp.float64
+
+
+@pytest.fixture(scope="module")
+def nb():
+    from ilqr_iterative_tasks_tpu import native_bindings
+    native_bindings.build()
+    return native_bindings
+
+
+def test_native_step_matches_jax(nb):
+    from ilqr_iterative_tasks_tpu.models import kinetic_bicycle as dyn
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        x = rng.normal(size=4)
+        u = rng.normal(size=2)
+        got = nb.bicycle_step_native(x, u, 0.7)
+        want = np.asarray(dyn.step(jnp.asarray(x), jnp.asarray(u), 0.7))
+        np.testing.assert_allclose(got, want, rtol=1e-14)
+
+
+@pytest.mark.parametrize("obstacle_kind", ["static", "moving_up", "absent"])
+def test_native_ilqr_matches_jax(nb, obstacle_kind):
+    params = IlqrParams.make(dtype=DT)
+    limits = SystemLimits.make(dtype=DT)
+    if obstacle_kind == "static":
+        obs = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    elif obstacle_kind == "moving_up":
+        obs = Obstacle.make(31.0, -2.0, 8.0, 6.0, spd=1.0, moving_option=1,
+                            dtype=DT)
+    else:
+        obs = Obstacle.absent(dtype=DT)
+    x0 = jnp.zeros(4, DT)
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        xt = jnp.asarray(rng.uniform(0, 25, 4), DT)
+        u0 = jnp.zeros((6, 2), DT)
+        jx = ilqr_solve(params, limits, obs, x0, xt, u0, 1.0, 1.0,
+                        num_horizon=6)
+        us_n, xs_n, lamb_n, it_n = nb.ilqr_solve_native(
+            params, limits, obs, np.zeros(4), np.asarray(xt),
+            np.zeros((6, 2)), 1.0, 1.0)
+        assert it_n == int(jx.n_iters)
+        np.testing.assert_allclose(us_n, np.asarray(jx.us), atol=1e-9)
+        np.testing.assert_allclose(xs_n, np.asarray(jx.xs), atol=1e-8)
+
+
+def test_native_lm_feasibility_agrees(nb):
+    limits = SystemLimits.make(dtype=DT)
+    obs = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    x0 = jnp.zeros(4, DT)
+    us_true = jnp.asarray([[2, 0.35], [2, 0.1], [2, -0.15],
+                           [2, -0.2], [2, -0.1], [2, 0.0]], dtype=DT)
+    x_term = rollout(x0, us_true, 1.0)[-1]
+    jl = lm_feasibility_solve(limits, obs, x0, x_term, us_true + 0.1, 1.0,
+                              num_horizon=6)
+    us_n, xs_n, err_n, viol_n, feas_n = nb.lm_feasibility_solve_native(
+        limits, obs, np.zeros(4), np.asarray(x_term),
+        np.asarray(us_true + 0.1), 1.0)
+    assert bool(jl.feasible) and feas_n
+    assert err_n <= 1e-4 and viol_n <= 1e-4
+    # unreachable target: both infeasible
+    far = jnp.asarray([200.0, 0.0, 0.0, 0.0], DT)
+    jl2 = lm_feasibility_solve(limits, obs, x0, far,
+                               jnp.zeros((6, 2), DT), 1.0, num_horizon=6)
+    _, _, err2, _, feas2 = nb.lm_feasibility_solve_native(
+        limits, obs, np.zeros(4), np.asarray(far), np.zeros((6, 2)), 1.0)
+    assert not bool(jl2.feasible) and not feas2
