@@ -54,6 +54,12 @@ class SafeSet:
         norm = np.linalg.norm(diff, 1, axis=0)
         return np.argsort(norm)[:k]
 
+    def select_points(self, lap_id: int, x0, k: int):
+        """Standalone kNN returning (points (4, k), Qfun values (k,), indices)
+        — parity with the utility at ilqr_helper.py:67-80."""
+        idx = self.select_close(lap_id, x0, k)
+        return self.ss[lap_id][:, idx], self.Qfun[lap_id][idx], idx
+
     def time_varying_windows(self, num_horizon: int, k: int,
                              all_ss_point: bool) -> List[np.ndarray]:
         """Initial per-lap candidate index windows, recomputed after each lap

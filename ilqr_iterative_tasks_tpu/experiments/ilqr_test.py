@@ -31,9 +31,15 @@ def test_ilqr(args):
     # demo CLI obstacle (iterative_ilqr/tests/ilqr_test.py:31-35): y = -3
     obstacle = ObstacleSim(31.0, -3.0, 8.0, 6.0, spd=0, timestep=dt)
     controller = I2LqrController(params, obstacle=obstacle)
+    seed = None
+    if args.get("direct_ilqr"):
+        # direct_ctrl_policy: seed from recorded lap files (base.py:134-136)
+        from ilqr_iterative_tasks_tpu.sim.seed import load_recorded_trajectory
+        seed = load_recorded_trajectory("data/closed_loop_multi_laps.txt",
+                                        "data/input_multi_laps.txt")
     result = run_closed_loop(
         controller, lap_number=args["lap_number"], dt=dt, zero_noise=True,
-        goal_fixup="snap", verbose=True)
+        goal_fixup="snap", seed=seed, verbose=True)
     print(f"time at iteration 0 is {result.seed_time:.0f} s")
     for lap, t in enumerate(result.lap_times, start=1):
         print(f"time at iteration {lap} is {t:.0f} s")

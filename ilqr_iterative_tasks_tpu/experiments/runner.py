@@ -41,6 +41,7 @@ def run_closed_loop(controller, lap_number: int, dt: float = 1.0,
                     obstacle_schedule=None,
                     rng: Optional[np.random.Generator] = None,
                     seed_safe_set: bool = True,
+                    seed: Optional[tuple] = None,
                     verbose: bool = False) -> RunResult:
     """Run seed lap + ``lap_number`` learning laps with any controller that
     implements the ControlBase API + add_trajectory.
@@ -49,8 +50,12 @@ def run_closed_loop(controller, lap_number: int, dt: float = 1.0,
     to inject/remove obstacles mid-run (result/ilqr_test_add_*_obstacle.py).
     ``seed_safe_set=False`` skips the initial add_trajectory — for controllers
     resumed from a checkpoint whose safe set is already populated.
+    ``seed``: optional (xcl, ucl) replacing the scripted seed lap — the
+    reference's direct_ctrl_policy mode (base.py:134-136).
     """
-    xcl, ucl = seed_trajectory(dt)
+    xcl, ucl = seed if seed is not None else seed_trajectory(dt)
+    xcl = np.asarray(xcl, dtype=np.float64)
+    ucl = np.asarray(ucl, dtype=np.float64)
     plant = BicyclePlant(rng=rng)
     plant.set_state(np.zeros(4))
     plant.set_timestep(dt)

@@ -91,12 +91,11 @@ def _candidate_sweep_impl(params: IlqrParams, limits: SystemLimits,
         global_idx = owner * x_terms_l.shape[0] + win_local
         return us_win, xs_win, best_cost, global_idx
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     sharded = shard_map(
         local_sweep, mesh=mesh,
         in_specs=(P(axis_name), P(axis_name)),
-        out_specs=(P(), P(), P(), P()),
-        check_rep=False)
+        out_specs=(P(), P(), P(), P()), check_vma=False)
     return sharded(x_terminals, q_terms)
 
 

@@ -16,6 +16,19 @@ from ilqr_iterative_tasks_tpu.constants import X_DIM, U_DIM
 from ilqr_iterative_tasks_tpu.models import kinetic_bicycle as dyn
 
 
+def load_recorded_trajectory(state_path: str, input_path: str):
+    """direct_ctrl_policy mode: load a recorded lap from reference-format
+    text files (base.py:134-136 loads data/closed_loop_multi_laps.txt, stored
+    TRANSPOSED as (4, T+1), + input_multi_laps.txt (2, T))."""
+    xcl = np.loadtxt(state_path)
+    ucl = np.loadtxt(input_path)
+    if xcl.shape[0] == X_DIM and xcl.shape[1] != X_DIM:
+        xcl = xcl.T
+    if ucl.ndim == 2 and ucl.shape[0] == U_DIM and ucl.shape[1] != U_DIM:
+        ucl = ucl.T
+    return np.asarray(xcl, np.float64), np.asarray(ucl, np.float64)
+
+
 def seed_trajectory(dt: float):
     """Returns (xcl (T+1, 4), ucl (T, 2)) with T = int(120/dt)."""
     angle = np.pi / 6
