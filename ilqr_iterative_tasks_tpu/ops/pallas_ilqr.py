@@ -36,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
 from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
 
-TILE_ROWS = 64  # sublane-rows per program (tunable)
-TILE = TILE_ROWS * 128  # lanes per grid step, viewed (TILE_ROWS, 128)
+TILE_ROWS = 128  # default sublane-rows per program (see build_fused_ilqr)
+TILE = TILE_ROWS * 128  # default lanes per grid step
 
 
 def obstacle_to_lanes(obstacle: Obstacle, batch: int) -> jnp.ndarray:
@@ -58,13 +58,17 @@ def obstacle_to_lanes(obstacle: Obstacle, batch: int) -> jnp.ndarray:
 
 def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
                      *, num_horizon: int, max_iter: int = 150,
-                     interpret: bool = False):
+                     tile_rows: int = TILE_ROWS, interpret: bool = False):
     """Factory: returns fn(x0 (4,B), x_term (4,B), obs (6,B)) ->
     (us (N,2,B), x_last (4,B), cost (B,), dist (B,)).
 
     Hyperparameters are baked as constants (call the factory again on change).
-    B must be a multiple of TILE (pad the candidate batch).
+    B must be a multiple of tile_rows*128 (pad the candidate batch).
+    Measured on v5e: tile_rows=64 best at B~128k (3.4M solves/s), 128 best at
+    B>=512k (5.1M solves/s); Mosaic compile ~10 min per (shape, max_iter),
+    persistent-cached.
     """
+    tile = tile_rows * 128
     n = num_horizon
     dtf = float(dt)
     f = lambda v: float(np.asarray(v))
@@ -109,7 +113,7 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
         return acc
 
     def kernel(x0_ref, xt_ref, obs_ref, us_ref, xl_ref, cost_ref, dist_ref):
-        shp = (TILE_ROWS, 128)
+        shp = (tile_rows, 128)
         x0c = tuple(x0_ref[i].reshape(shp) for i in range(4))
         xt = tuple(xt_ref[i].reshape(shp) for i in range(4))
         ox = obs_ref[0].reshape(shp)
@@ -366,37 +370,37 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
         d = tuple(xs[n][i] - xt[i] for i in range(4))
         dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + d[3] * d[3])
         for i in range(n):
-            us_ref[i, 0] = us[i][0].reshape(TILE)
-            us_ref[i, 1] = us[i][1].reshape(TILE)
+            us_ref[i, 0] = us[i][0].reshape(tile)
+            us_ref[i, 1] = us[i][1].reshape(tile)
         for i in range(4):
-            xl_ref[i] = xs[n][i].reshape(TILE)
-        cost_ref[...] = cost.reshape(TILE)
-        dist_ref[...] = dist.reshape(TILE)
+            xl_ref[i] = xs[n][i].reshape(tile)
+        cost_ref[...] = cost.reshape(tile)
+        dist_ref[...] = dist.reshape(tile)
 
     @jax.jit
     def solve(x0, x_term, obs_lanes):
         b = x_term.shape[-1]
-        assert b % TILE == 0, f"batch {b} must be a multiple of {TILE}"
-        grid = (b // TILE,)
+        assert b % tile == 0, f"batch {b} must be a multiple of {tile}"
+        grid = (b // tile,)
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((4, TILE), lambda i: (0, i),
+                pl.BlockSpec((4, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, TILE), lambda i: (0, i),
+                pl.BlockSpec((4, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((6, TILE), lambda i: (0, i),
+                pl.BlockSpec((6, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((n, 2, TILE), lambda i: (0, 0, i),
+                pl.BlockSpec((n, 2, tile), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, TILE), lambda i: (0, i),
+                pl.BlockSpec((4, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE,), lambda i: (i,),
+                pl.BlockSpec((tile,), lambda i: (i,),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE,), lambda i: (i,),
+                pl.BlockSpec((tile,), lambda i: (i,),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[

@@ -37,11 +37,11 @@ def test_pallas_matches_soa_at_decision_level():
     params = IlqrParams.make(dtype=DT)
     limits = SystemLimits.make(dtype=DT)
     obs = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
-    batch = TILE
+    batch = 1024
     xts = _realistic_candidates(batch)
     x0 = jnp.zeros((4, batch), DT)
     solve = build_fused_ilqr(params, limits, 1.0, num_horizon=6,
-                             interpret=True)
+                             tile_rows=8, interpret=True)
     us_p, xl_p, cost_p, dist_p = solve(x0, xts, obstacle_to_lanes(obs, batch))
     ref = ilqr_solve_soa(params, limits, obs, jnp.zeros(4, DT), xts,
                          jnp.zeros((6, 2, batch), DT), 1.0, 1.0,
@@ -72,13 +72,13 @@ def test_pallas_argmin_matches_soa():
     params = IlqrParams.make(dtype=DT)
     limits = SystemLimits.make(dtype=DT)
     obs = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
-    batch = TILE
+    batch = 1024
     xts = _realistic_candidates(batch)
     x0 = jnp.zeros((4, batch), DT)
     qfun = jnp.asarray(np.random.default_rng(1).integers(
         10, 100, size=batch), DT)
     solve = build_fused_ilqr(params, limits, 1.0, num_horizon=6,
-                             interpret=True)
+                             tile_rows=8, interpret=True)
     _, _, _, dist_p = solve(x0, xts, obstacle_to_lanes(obs, batch))
     ref = ilqr_solve_soa(params, limits, obs, jnp.zeros(4, DT), xts,
                          jnp.zeros((6, 2, batch), DT), 1.0, 1.0,
