@@ -55,6 +55,17 @@ def main():
                                        noise_on=True, dtype=dtype)
     kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
               solver_max_iter=40)
+    solver_backend = "soa"
+    if on_tpu:
+        # fused Pallas candidate solver: ~1.6x over the XLA SoA path
+        # (k * batch lanes must divide the kernel tile)
+        from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import build_fused_ilqr
+        k = params.num_ss_points
+        if (k * batch) % (128 * 128) == 0:
+            kw["pallas_solver"] = build_fused_ilqr(
+                params, limits, 1.0, num_horizon=params.num_horizon,
+                max_iter=40, tile_rows=128)
+            solver_backend = "pallas"
 
     def run(seed):
         res = simulate_learning_runs_soa(
@@ -82,6 +93,7 @@ def main():
             "num_laps": num_laps,
             "lap_completion_rate": round(done_frac, 4),
             "backend": jax.default_backend(),
+            "solver_backend": solver_backend,
             "seconds_per_batch": round(best, 3),
         },
     }))

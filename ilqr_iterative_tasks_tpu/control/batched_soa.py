@@ -93,20 +93,24 @@ def _lex_argmin_rows(cost_rows):
 
 @partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
                                    "goal_append", "sim_step_budget",
-                                   "solver_max_iter"))
+                                   "solver_max_iter", "pallas_solver"))
 def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                scenarios: SoaScenarios, seed_xs, seed_us,
                                seed_len, dt, key, *, num_laps: int,
                                max_steps: int = 128, max_laps: int = 16,
                                goal_append: bool = True,
                                sim_step_budget: int = 121,
-                               solver_max_iter: int | None = None
-                               ) -> SoaRunResult:
+                               solver_max_iter: int | None = None,
+                               pallas_solver=None) -> SoaRunResult:
     """Seed + ``num_laps`` learning laps for B scenarios, batch-trailing.
 
     seed_xs: (max_steps, 4) shared seed lap (padded); seed_us: (max_steps, 2);
     seed_len: scalar count of seed states. ``solver_max_iter`` caps the
     lockstep LM iterations of the candidate solver (None = reference's 150).
+    ``pallas_solver``: optional fused-kernel backend from
+    ops.pallas_ilqr.build_fused_ilqr (build it with the SAME params/limits/dt
+    and matching max_iter); k*B must be a multiple of its tile size. Static
+    arg: a new factory function triggers a retrace.
     """
     n = params.num_horizon
     k = params.num_ss_points
@@ -165,20 +169,35 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                     [_gather_cols(st[:, i], idx_bk) for i in range(4)])  # (4,K,B)
                 q_terms = _gather_cols(qfun[lap_id_c], idx_bk)  # (K, B)
                 x0b = jnp.broadcast_to(x[:, None, :], (4, k, b))
-                sol = ilqr_solve_soa(
-                    params, limits, obstacle, x0b, x_terms,
-                    jnp.zeros((n, 2, k, b), dtype), params.lamb, dt,
-                    num_horizon=n, max_iter=solver_max_iter)
-                d = jnp.sqrt(sum((sol.xs[-1][i] - x_terms[i]) ** 2
-                                 for i in range(4)))  # (K, B)
+                if pallas_solver is not None:
+                    from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import (
+                        obstacle_to_lanes)
+                    obs_l = obstacle_to_lanes(obstacle, b)  # (6, B)
+                    obs_kb = jnp.broadcast_to(
+                        obs_l[:, None, :], (6, k, b)).reshape(6, k * b)
+                    us_f, xl_f, cost_f, d_f = pallas_solver(
+                        x0b.reshape(4, k * b), x_terms.reshape(4, k * b),
+                        obs_kb)
+                    sol_us = us_f.reshape(n, 2, k, b)
+                    x_last = xl_f.reshape(4, k, b)
+                    d = d_f.reshape(k, b)
+                else:
+                    sol = ilqr_solve_soa(
+                        params, limits, obstacle, x0b, x_terms,
+                        jnp.zeros((n, 2, k, b), dtype), params.lamb, dt,
+                        num_horizon=n, max_iter=solver_max_iter)
+                    sol_us = sol.us
+                    x_last = sol.xs[-1]
+                    d = jnp.sqrt(sum((x_last[i] - x_terms[i]) ** 2
+                                     for i in range(4)))  # (K, B)
                 unit = 80.0 / (10 ** outer)
                 i_rel = jnp.maximum(jnp.ceil(d / unit - 1e-12), 1.0)
                 cost = jnp.where(d <= unit * params.max_relax_iter,
                                  q_terms + float(n) + 100.0 * i_rel, jnp.inf)
                 cost = jnp.where(lap_ok, cost, jnp.inf)
                 rows_cost.append(cost)
-                rows_sol_us.append(sol.us)  # (N, 2, K, B)
-                rows_sol_xN.append(sol.xs)  # (N+1, 4, K, B)
+                rows_sol_us.append(sol_us)  # (N, 2, K, B)
+                rows_sol_xN.append(x_last)  # (4, K, B)
                 rows_idx.append(idx_bk.T)  # (K, B)
                 rows_lap.append(jnp.full((b,), lap_id_c, jnp.int32))
                 row_ok.append(lap_ok)
@@ -200,17 +219,17 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                         jnp.int32), axis=-2)[..., 0, :]
 
             us_sel = pick(jnp.stack(rows_sol_us))  # (N, 2, B)
-            xs_sel = pick(jnp.stack(rows_sol_xN))  # (N+1, 4, B)
+            xl_sel = pick(jnp.stack(rows_sol_xN))  # (4, B) terminal states
             idx_sel = pick(jnp.stack(rows_idx))  # (B,)
             lap_sel = jnp.take_along_axis(
                 jnp.stack(rows_lap), best_row[None, :].astype(jnp.int32),
                 axis=0)[0]  # (B,)
-            return xs_sel, us_sel, idx_sel, lap_sel
+            return xl_sel, us_sel, idx_sel, lap_sel
 
         xg = tuple(x[i] for i in range(4))
-        xs_p, us_p, idx_c, lap_c = one_pass(0, xg)
-        xs_p, us_p, idx_c, lap_c = one_pass(1, tuple(xs_p[-1][i] for i in range(4)))
-        xs_p, us_p, idx_c, lap_c = one_pass(2, tuple(xs_p[-1][i] for i in range(4)))
+        xl_p, us_p, idx_c, lap_c = one_pass(0, xg)
+        xl_p, us_p, idx_c, lap_c = one_pass(1, tuple(xl_p[i] for i in range(4)))
+        xl_p, us_p, idx_c, lap_c = one_pass(2, tuple(xl_p[i] for i in range(4)))
         chosen_len = jnp.take_along_axis(lap_len, lap_c[None, :], axis=0)[0]
         shrink = (idx_c + 1) > (chosen_len - 1)
         u = us_p[0]  # (2, B)

@@ -120,3 +120,27 @@ def test_sharded_candidate_sweep_matches_local():
     assert int(idx) == want
     np.testing.assert_allclose(np.asarray(us), np.asarray(sols.us[want]),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_batched_nlmpc_converges():
+    """Fully-jitted NLMPC lap sim: converges near the host path's 23 steps
+    (fixed-horizon deviation documented in control/batched_nlmpc.py)."""
+    from ilqr_iterative_tasks_tpu.control.batched_nlmpc import (
+        simulate_nlmpc_batch)
+    from ilqr_iterative_tasks_tpu.utils.params import LmpcParams
+
+    params = LmpcParams.make(ss_option="spaceVarying")
+    limits = SystemLimits.make(dtype=DT)
+    xcl, ucl = seed_trajectory(1.0)
+    seed_xs = jnp.zeros((128, 4), DT).at[:121].set(jnp.asarray(xcl, DT))
+    seed_us = jnp.zeros((128, 2), DT).at[:120].set(jnp.asarray(ucl, DT))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    scs = make_batch_scenarios(np.zeros(4), xcl[-1], obstacle, 2,
+                               jax.random.PRNGKey(0), dtype=DT)
+    res = simulate_nlmpc_batch(params, limits, scs, seed_xs, seed_us, 121,
+                               1.0, num_laps=3, max_steps=128, max_laps=8)
+    steps = np.asarray(res.lap_steps)  # (B, num_laps)
+    assert np.all(res.lap_done)
+    assert np.all(steps[0] == steps[1])  # identical lanes agree
+    assert steps[0, 0] <= 40 and steps[0, -1] <= 26
