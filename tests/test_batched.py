@@ -144,3 +144,22 @@ def test_batched_nlmpc_converges():
     assert np.all(res.lap_done)
     assert np.all(steps[0] == steps[1])  # identical lanes agree
     assert steps[0, 0] <= 40 and steps[0, -1] <= 26
+
+
+@pytest.mark.slow
+def test_batched_soa_moving_obstacle():
+    """Batch-native sim with a moving obstacle: per-step advance + per-lap
+    reset must influence but not break learning."""
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        SoaScenarios, simulate_learning_runs_soa)
+    params, limits, seed_xs, seed_us, xcl, _ = _setup()
+    moving = Obstacle.make(35.0, -16.0, 20.0, 20.0, spd=1.0, moving_option=1,
+                           dtype=DT)
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], moving, 2,
+                                 noise_on=False, dtype=DT)
+    res = simulate_learning_runs_soa(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0,
+        jax.random.PRNGKey(0), num_laps=3, max_steps=128, max_laps=8)
+    steps = np.asarray(res.lap_steps)[:, 0]
+    assert np.all(res.lap_done)
+    assert steps[-1] <= 35  # learns despite the moving obstacle

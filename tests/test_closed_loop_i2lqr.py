@@ -77,3 +77,19 @@ def test_three_lap_f32_still_converges():
     assert all(res.lap_finished)
     assert res.lap_times[0] <= 60.0
     assert res.lap_times[-1] <= 30.0
+
+
+@pytest.mark.slow
+def test_baseline_config1_demo_cli_parity():
+    """BASELINE.json config 1: ilqr_test --lap-number 3 --num-ss-iters 2
+    --num-ss-points 8 (demo CLI: obstacle y=-3, snap fixup). Reference ground
+    truth (casadi-stub run, 2026-08-17): [54, 29, 23]."""
+    from ilqr_iterative_tasks_tpu.sim.plant import ObstacleSim
+    params = IlqrParams.make(num_ss_points=8, num_ss_iter=2)
+    ctrl = I2LqrController(
+        params, obstacle=ObstacleSim(31.0, -3.0, 8.0, 6.0, spd=0,
+                                     timestep=1.0))
+    res = run_closed_loop(ctrl, lap_number=3, dt=1.0, goal_fixup="snap")
+    assert all(res.lap_finished)
+    for got, want in zip(res.lap_times, [54, 29, 23]):
+        assert abs(got - want) <= 1, res.lap_times
