@@ -112,3 +112,25 @@ def test_soa_simulator_solver_cap_preserves_behavior():
     steps = np.asarray(res.lap_steps)[:, 0]
     assert np.all(res.lap_done)
     assert steps[0] <= 60 and steps[-1] <= 30
+
+
+@pytest.mark.slow
+def test_soa_simulator_multi_iter_lexicographic():
+    """num_ss_iter=2 exercises the multi-row lexicographic selection in the
+    batch-native path. Host controller (f32, append): [55, 28, 24]."""
+    dtype = jnp.float32
+    params = IlqrParams.make(num_ss_iter=2, dtype=dtype)
+    limits = SystemLimits.make(dtype=dtype)
+    xcl, ucl = seed_trajectory(1.0)
+    seed_xs = jnp.zeros((128, 4), dtype).at[:121].set(jnp.asarray(xcl, dtype))
+    seed_us = jnp.zeros((128, 2), dtype).at[:120].set(jnp.asarray(ucl, dtype))
+    obs = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obs, 2,
+                                 noise_on=False, dtype=dtype)
+    res = simulate_learning_runs_soa(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0,
+        jax.random.PRNGKey(0), num_laps=3, max_steps=128, max_laps=8)
+    steps = np.asarray(res.lap_steps)[:, 0]
+    assert np.all(res.lap_done)
+    for got, want in zip(steps.tolist(), [55, 28, 24]):
+        assert abs(got - want) <= 1, steps
