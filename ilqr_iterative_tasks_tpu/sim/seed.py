@@ -29,8 +29,11 @@ def load_recorded_trajectory(state_path: str, input_path: str):
     return np.asarray(xcl, np.float64), np.asarray(ucl, np.float64)
 
 
-def seed_trajectory(dt: float):
-    """Returns (xcl (T+1, 4), ucl (T, 2)) with T = int(120/dt)."""
+def seed_trajectory(dt: float, save_path: str | None = None):
+    """Returns (xcl (T+1, 4), ucl (T, 2)) with T = int(120/dt).
+
+    ``save_path``: optionally write the states in the reference's format
+    (base.py:133 writes data/closed_loop_feasible.txt)."""
     angle = np.pi / 6
     total = int(120 / dt)
     xs = [np.zeros(X_DIM)]
@@ -48,4 +51,7 @@ def seed_trajectory(dt: float):
         xs.append(np.asarray(
             dyn.step(jnp.asarray(xs[-1]), jnp.asarray(u), dt), dtype=np.float64))
         us.append(u)
-    return np.stack(xs), np.stack(us)
+    xcl = np.stack(xs)
+    if save_path is not None:
+        np.savetxt(save_path, xcl, fmt="%f")
+    return xcl, np.stack(us)

@@ -51,6 +51,8 @@ class IlqrParams:
     matrix_Q: jnp.ndarray  # (4,4) running state weight (default 0)
     matrix_R: jnp.ndarray  # (2,2) running input weight (default 0)
     matrix_Qterminal: jnp.ndarray  # (4,4) terminal weight
+    tuning_state_q1: jnp.ndarray  # carried for API parity (unused by the
+    tuning_state_q2: jnp.ndarray  # reference solver too, base.py:251-252)
     tuning_ctrl_q1: jnp.ndarray
     tuning_ctrl_q2: jnp.ndarray
     tuning_obs_q1: jnp.ndarray
@@ -75,6 +77,7 @@ class IlqrParams:
 
     @classmethod
     def make(cls, *, matrix_Q=None, matrix_R=None, matrix_Qterminal=None,
+             tuning_state_q1=1.0, tuning_state_q2=1.0,
              tuning_ctrl_q1=1.0, tuning_ctrl_q2=1.0,
              tuning_obs_q1=2.74, tuning_obs_q2=2.74, safety_margin=0.0,
              eps=1e-2, lamb=1.0, lamb_factor=10.0, max_lamb=1000.0,
@@ -89,6 +92,8 @@ class IlqrParams:
         return cls(
             matrix_Q=f(matrix_Q), matrix_R=f(matrix_R),
             matrix_Qterminal=f(matrix_Qterminal),
+            tuning_state_q1=f(tuning_state_q1),
+            tuning_state_q2=f(tuning_state_q2),
             tuning_ctrl_q1=f(tuning_ctrl_q1), tuning_ctrl_q2=f(tuning_ctrl_q2),
             tuning_obs_q1=f(tuning_obs_q1), tuning_obs_q2=f(tuning_obs_q2),
             safety_margin=f(safety_margin), eps=f(eps), lamb=f(lamb),
