@@ -17,6 +17,7 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "ilqr_native.cpp")
+_SRC_RUNNER = os.path.join(_NATIVE_DIR, "i2lqr_runner.cpp")
 _LIB = os.path.join(_NATIVE_DIR, "libilqr_native.so")
 
 
@@ -43,12 +44,13 @@ class NativeParams(ctypes.Structure):
 
 def build(force: bool = False) -> str:
     """Compile the shared library if missing/stale; returns its path."""
+    newest_src = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_RUNNER))
     if (not force and os.path.exists(_LIB)
-            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
+            and os.path.getmtime(_LIB) >= newest_src):
         return _LIB
     subprocess.run(
         ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-         _SRC, "-o", _LIB],
+         _SRC, _SRC_RUNNER, "-o", _LIB],
         check=True, capture_output=True)
     return _LIB
 
@@ -71,6 +73,11 @@ def load():
             ctypes.c_double, dp, dp, dp, dp]
         lib.bicycle_step_native.restype = None
         lib.bicycle_step_native.argtypes = [dp, dp, ctypes.c_double, dp]
+        lib.run_i2lqr_closed_loop.restype = ctypes.c_int
+        lib.run_i2lqr_closed_loop.argtypes = [
+            ctypes.POINTER(NativeParams), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int)]
         _lib = lib
     return _lib
 
@@ -165,3 +172,17 @@ def bicycle_step_native(x, u, dt: float):
     lib.bicycle_step_native(x.ctypes.data_as(dp), u.ctypes.data_as(dp),
                             float(dt), out.ctypes.data_as(dp))
     return out
+
+
+def run_i2lqr_closed_loop_native(params, limits, obstacle, lap_number: int,
+                                 dt: float = 1.0):
+    """Full native (C++) i2LQR learning run: seed + lap_number laps.
+    Returns (lap_steps list, completed count) — the embedded deployment path,
+    no Python in the control loop."""
+    lib = load()
+    p = make_params(params, limits, obstacle)
+    steps = (ctypes.c_int * lap_number)()
+    completed = lib.run_i2lqr_closed_loop(
+        ctypes.byref(p), lap_number, int(params.num_ss_points),
+        int(params.num_ss_iter), int(params.num_horizon), float(dt), steps)
+    return list(steps), int(completed)

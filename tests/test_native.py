@@ -87,3 +87,16 @@ def test_native_lm_feasibility_agrees(nb):
     _, _, err2, _, feas2 = nb.lm_feasibility_solve_native(
         limits, obs, np.zeros(4), np.asarray(far), np.zeros((6, 2)), 1.0)
     assert not bool(jl2.feasible) and not feas2
+
+
+def test_native_full_closed_loop_matches_jax_controller(nb):
+    """The complete C++ closed-loop learning run (native/i2lqr_runner.cpp)
+    must reproduce the JAX host controller's lap sequence [55, 28, 23, ...]
+    (f64, CI obstacle, append fixup) — the embedded deployment path."""
+    params = IlqrParams.make(dtype=DT)
+    limits = SystemLimits.make(dtype=DT)
+    obs = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    steps, completed = nb.run_i2lqr_closed_loop_native(params, limits, obs, 5)
+    assert completed == 5
+    for got, want in zip(steps, [55, 28, 23, 23, 23]):
+        assert abs(got - want) <= 1, steps
