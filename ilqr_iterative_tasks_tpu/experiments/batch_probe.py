@@ -1,0 +1,80 @@
+"""One-off probe: headline learning-run throughput vs scenario batch size.
+
+Usage: python -m ilqr_iterative_tasks_tpu.experiments.batch_probe 65536
+Prints one JSON line per batch size (same metric as bench.py).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
+        tile_rows: int = 128):
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        SoaScenarios, simulate_learning_runs_soa)
+    from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+    from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import build_fused_ilqr
+    from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+    from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.float32
+    params = IlqrParams.make(dtype=dtype)
+    limits = SystemLimits.make(dtype=dtype)
+    xcl, ucl = seed_trajectory(1.0)
+    max_steps = 128
+    seed_xs = jnp.zeros((max_steps, 4), dtype).at[:121].set(
+        jnp.asarray(xcl, dtype))
+    seed_us = jnp.zeros((max_steps, 2), dtype).at[:120].set(
+        jnp.asarray(ucl, dtype))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
+    scenarios = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, batch,
+                                       noise_on=True, dtype=dtype)
+    kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
+              solver_max_iter=solver_max_iter)
+    if on_tpu:
+        kw["pallas_solver"] = build_fused_ilqr(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_iter=solver_max_iter, tile_rows=tile_rows)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    out = simulate_learning_runs_soa(params, limits, scenarios, seed_xs,
+                                     seed_us, 121, 1.0, key, **kw)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = simulate_learning_runs_soa(params, limits, scenarios, seed_xs,
+                                     seed_us, 121, 1.0,
+                                     jax.random.PRNGKey(1), **kw)
+    jax.block_until_ready(out)
+    dt_s = time.time() - t0
+    rate = batch * num_laps / dt_s
+    done = float(jnp.mean(out.lap_done.astype(jnp.float32)))
+    print(json.dumps({
+        "batch": batch, "tile_rows": tile_rows, "lap_sims_per_s": round(rate, 1),
+        "seconds": round(dt_s, 2), "compile_s": round(compile_s, 1),
+        "completion": round(done, 4)}), flush=True)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    for arg in sys.argv[1:] or ["65536"]:
+        if ":" in arg:
+            b, tr = arg.split(":")
+            run(int(b), tile_rows=int(tr))
+        else:
+            run(int(arg))
