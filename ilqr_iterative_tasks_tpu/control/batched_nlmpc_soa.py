@@ -1,0 +1,240 @@
+"""Batch-native (structure-of-arrays) NLMPC learning simulator — the
+production throughput path for the constrained-MPC controller family on TPU.
+
+Same closed-loop semantics as control/batched_nlmpc.py (which documents the
+parity map against /root/reference/iterative_ilqr/utils/base.py:514-655 and
+control/nonlinear_lmpc.py:6-214), but the scenario batch B is an explicit
+TRAILING axis of every tensor instead of a vmapped leading axis, and every
+candidate NLP is solved by ops/lm_shooting_soa.py (batch-trailing scalarized
+LM shooting) instead of vmapped jacfwd + LU. The layout rationale is the same
+as control/batched_soa.py: the batch must ride the TPU lane dimension.
+
+Batch-relevant semantics (as in the AoS version):
+- spaceVarying safe-set option: L1-kNN around the per-lane terminal guess
+  (base.py:548-555).
+- candidate cost N + Qfun if feasible else Inf (nonlinear_lmpc.py:197),
+  lexicographic selection across safe-set iterations (base.py:605).
+- terminal-guess advance to the successor safe-set point + warm-start shift
+  (base.py:619-639); an all-infeasible step holds the previous input.
+- no horizon shrink (base.py:640-654): laps end by goal proximity, which
+  fires before a shrink would (validated against the host controller).
+- all B scenarios run in lockstep with done-freezing, lap counting global.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ilqr_iterative_tasks_tpu.control.batched_soa import (
+    SoaScenarios, _gather_cols, _lex_argmin_rows)
+from ilqr_iterative_tasks_tpu.ops.ilqr_soa import step_soa
+from ilqr_iterative_tasks_tpu.ops.lm_shooting_soa import (
+    lm_feasibility_solve_soa)
+from ilqr_iterative_tasks_tpu.utils.params import LmpcParams, SystemLimits
+
+
+class NlmpcSoaRunResult(NamedTuple):
+    lap_steps: jnp.ndarray  # (num_laps, B)
+    lap_done: jnp.ndarray  # (num_laps, B)
+    final_x: jnp.ndarray  # (4, B)
+
+
+@partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
+                                   "goal_append", "sim_step_budget",
+                                   "max_lm_iters"))
+def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
+                            scenarios: SoaScenarios, seed_xs, seed_us,
+                            seed_len, dt, key, *, num_laps: int,
+                            max_steps: int = 128, max_laps: int = 16,
+                            goal_append: bool = False,
+                            sim_step_budget: int = 121,
+                            max_lm_iters: int = 60) -> NlmpcSoaRunResult:
+    """Seed + ``num_laps`` NLMPC learning laps for B scenarios, batch-trailing.
+
+    seed_xs: (max_steps, 4) shared seed lap (padded); seed_us: (max_steps, 2);
+    seed_len: scalar count of seed states.
+    """
+    n = params.num_horizon
+    k = params.num_ss_points
+    nsi = params.num_ss_iter
+    dtype = seed_xs.dtype
+    b = scenarios.x0.shape[-1]
+    dt = jnp.asarray(dt, dtype)
+    goal_tol = 0.8
+
+    # ---- safe set, batch-trailing (states + inputs for warm starts) ----
+    ss_states = jnp.zeros((max_laps, max_steps, 4, b), dtype)
+    ss_inputs = jnp.zeros((max_laps, max_steps, 2, b), dtype)
+    ss_qfun = jnp.zeros((max_laps, max_steps, b), dtype)
+    ss_valid = jnp.zeros((max_laps, max_steps, b), dtype=bool)
+    ss_lap_len = jnp.zeros((max_laps, b), jnp.int32)
+
+    t_idx = jnp.arange(max_steps)
+
+    def add_lap(ss, slot, xs_rec, us_rec, n_valid):
+        states, inputs, qfun, valid, lap_len = ss
+        valid_row = t_idx[:, None] < n_valid[None, :]
+        qfun_row = jnp.maximum(
+            n_valid[None, :].astype(dtype) - 1.0
+            - t_idx[:, None].astype(dtype), 0.0)
+        return (states.at[slot].set(xs_rec),
+                inputs.at[slot].set(us_rec),
+                qfun.at[slot].set(qfun_row),
+                valid.at[slot].set(valid_row),
+                lap_len.at[slot].set(n_valid.astype(jnp.int32)))
+
+    seed_rec = jnp.broadcast_to(seed_xs[:, :, None], (max_steps, 4, b))
+    seed_urec = jnp.broadcast_to(seed_us[:, :, None], (max_steps, 2, b))
+    ss0 = add_lap((ss_states, ss_inputs, ss_qfun, ss_valid, ss_lap_len), 0,
+                  seed_rec, seed_urec, jnp.full((b,), seed_len, jnp.int32))
+
+    def solve_step(ss, lap_count, x, guess, u_warm, obstacle):
+        """One NLMPC calc_input for all B lanes.
+
+        x, guess: (4, B); u_warm: (N, 2, B). Returns
+        (u (2, B), feasible_any (B,), new_guess (4, B), u_warm_new)."""
+        states, inputs, qfun, valid, lap_len = ss
+        rows_cost, rows_us, rows_idx, rows_lap = [], [], [], []
+        x0b = jnp.broadcast_to(x[:, None, :], (4, k, b))
+        u_warm_kb = jnp.broadcast_to(u_warm[:, :, None, :], (n, 2, k, b))
+        for off in range(nsi):
+            lap_id = lap_count - nsi + off
+            lap_ok = lap_id >= 0
+            lap_id_c = jnp.clip(lap_id, 0, max_laps - 1)
+            st = states[lap_id_c]  # (T, 4, B)
+            dist = (jnp.abs(st[:, 0] - guess[0][None])
+                    + jnp.abs(st[:, 1] - guess[1][None])
+                    + jnp.abs(st[:, 2] - guess[2][None])
+                    + jnp.abs(st[:, 3] - guess[3][None]))  # (T, B)
+            dist = jnp.where(valid[lap_id_c], dist, jnp.inf)
+            _, idx_bk = jax.lax.top_k(-dist.T, k)  # (B, K)
+            x_terms = jnp.stack(
+                [_gather_cols(st[:, i], idx_bk) for i in range(4)])  # (4,K,B)
+            q_terms = _gather_cols(qfun[lap_id_c], idx_bk)  # (K, B)
+            sol = lm_feasibility_solve_soa(
+                limits, obstacle, x0b, x_terms, u_warm_kb, dt,
+                num_horizon=n, max_iters=max_lm_iters)
+            cost = jnp.where(sol.feasible & lap_ok,
+                             float(n) + q_terms, jnp.inf)
+            rows_cost.append(cost)
+            rows_us.append(sol.us)  # (N, 2, K, B)
+            rows_idx.append(idx_bk.T)  # (K, B)
+            rows_lap.append(jnp.full((b,), lap_id_c, jnp.int32))
+        cost_rows = jnp.stack(rows_cost)  # (L, K, B)
+        best_row = _lex_argmin_rows(cost_rows)  # (B,)
+        row_cost = jnp.take_along_axis(
+            cost_rows, best_row[None, None, :].astype(jnp.int32), axis=0)[0]
+        best_col = jnp.argmin(row_cost, axis=0)  # (B,)
+
+        def pick(stacked):
+            r = jnp.take_along_axis(
+                stacked,
+                best_row.reshape((1,) * (stacked.ndim - 1) + (b,)).astype(
+                    jnp.int32), axis=0)[0]  # (..., K, B)
+            return jnp.take_along_axis(
+                r, best_col.reshape((1,) * (r.ndim - 2) + (1, b)).astype(
+                    jnp.int32), axis=-2)[..., 0, :]
+
+        us_sel = pick(jnp.stack(rows_us))  # (N, 2, B)
+        idx_sel = pick(jnp.stack(rows_idx))  # (B,)
+        lap_sel = jnp.take_along_axis(
+            jnp.stack(rows_lap), best_row[None, :].astype(jnp.int32),
+            axis=0)[0]  # (B,)
+        feasible_any = jnp.isfinite(
+            jnp.take_along_axis(row_cost, best_col[None, :], axis=0)[0])
+        # terminal guess -> successor safe-set point (base.py:621-622)
+        chosen_len = jnp.take_along_axis(lap_len, lap_sel[None, :], axis=0)[0]
+        nxt = jnp.clip(idx_sel + 1, 0, chosen_len - 1)  # (B,)
+        st_sel = jnp.take_along_axis(
+            states, lap_sel[None, None, None, :].astype(jnp.int32),
+            axis=0)[0]  # (T, 4, B)
+        new_guess = jnp.take_along_axis(
+            st_sel, nxt[None, None, :].astype(jnp.int32), axis=0)[0]  # (4, B)
+        # warm start: shift the chosen solution, repeat its last input
+        u_warm_new = jnp.concatenate([us_sel[1:], us_sel[-1:]], axis=0)
+        return us_sel[0], feasible_any, new_guess, u_warm_new
+
+    def run_lap(ss, lap_count, guess0, u_warm0, key):
+        def step_cond(c):
+            x, t, done, *_ = c
+            return jnp.any((t < sim_step_budget) & ~done)
+
+        def step_body(c):
+            (x, t, done, obstacle, guess, u_warm, u_prev, xs_rec, us_rec,
+             key) = c
+            u_solve, feas, guess_new, u_warm_new = solve_step(
+                ss, lap_count, x, guess, u_warm, obstacle)
+            u = jnp.where(feas[None, :], u_solve, u_prev)
+            x_next = jnp.stack(step_soa(tuple(x[i] for i in range(4)),
+                                        (u[0], u[1]), dt))
+            key, k1, k2 = jax.random.split(key, 3)
+            noise_v = jnp.clip(jax.random.normal(k1, (b,), dtype) * 0.01,
+                               -0.05, 0.05)
+            noise_th = jnp.clip(jax.random.normal(k2, (b,), dtype) * 0.005,
+                                -0.05, 0.05)
+            x_next = x_next.at[2].add(0.5 * noise_v * scenarios.noise_on)
+            x_next = x_next.at[3].add(0.5 * noise_th * scenarios.noise_on)
+            obstacle_next = obstacle.advance(dt)
+            # freeze finished lanes
+            x_next = jnp.where(done[None, :], x, x_next)
+            obstacle_next = jax.tree_util.tree_map(
+                lambda a, bo: jnp.where(done, a, bo), obstacle, obstacle_next)
+            t_next = jnp.where(done, t, t + 1)
+            guess_next = jnp.where(done[None, :], guess, guess_new)
+            u_warm_next = jnp.where(done[None, None, :], u_warm, u_warm_new)
+            u_prev_next = jnp.where(done[None, :], u_prev, u)
+            # per-lane scatter of the records at the active step
+            u_onehot = (t_idx[:, None] == t[None, :]) & (~done)[None, :]
+            us_rec = jnp.where(u_onehot[:, None, :], u[None, :, :], us_rec)
+            x_onehot = (t_idx[:, None] == t_next[None, :]) & (~done)[None, :]
+            xs_rec = jnp.where(x_onehot[:, None, :], x_next[None, :, :],
+                               xs_rec)
+            reach = jnp.sqrt(sum((x_next[i] - scenarios.goal[i]) ** 2
+                                 for i in range(4))) <= goal_tol
+            done_next = done | ((~done) & reach)
+            return (x_next, t_next, done_next, obstacle_next, guess_next,
+                    u_warm_next, u_prev_next, xs_rec, us_rec, key)
+
+        xs_rec = jnp.zeros((max_steps, 4, b), dtype).at[0].set(scenarios.x0)
+        us_rec = jnp.zeros((max_steps, 2, b), dtype)
+        init = (scenarios.x0, jnp.zeros((b,), jnp.int32),
+                jnp.zeros((b,), bool), scenarios.obstacle, guess0, u_warm0,
+                jnp.zeros((2, b), dtype), xs_rec, us_rec, key)
+        (x, t, done, _obs, _g, _uw, _up, xs_rec, us_rec, key) = (
+            jax.lax.while_loop(step_cond, step_body, init))
+        return xs_rec, us_rec, t, done, x, key
+
+    def _set_goal(xs_rec, pos, goal):
+        onehot = (t_idx[:, None] == pos[None, :])
+        return jnp.where(onehot[:, None, :], goal[None, :, :], xs_rec)
+
+    def lap_loop(lap_i, carry):
+        ss, key, lap_steps, lap_done, final_x = carry
+        lap_count = lap_i + 1  # safe set holds seed + lap_i learning laps
+        newest = lap_count - 1
+        # per-lap warm start from the newest lap (base.py:661-675)
+        st_new = jnp.take(ss[0], newest, axis=0)  # (T, 4, B)
+        in_new = jnp.take(ss[1], newest, axis=0)  # (T, 2, B)
+        guess0 = st_new[n]  # (4, B)
+        u_warm0 = in_new[:n]  # (N, 2, B)
+        xs_rec, us_rec, t, done, x_fin, key = run_lap(ss, lap_count, guess0,
+                                                      u_warm0, key)
+        if goal_append:
+            pos, n_valid = t + 1, t + 2
+        else:
+            pos, n_valid = t, t + 1
+        xs_rec = _set_goal(xs_rec, pos, scenarios.goal)
+        ss = add_lap(ss, lap_count, xs_rec, us_rec, n_valid)
+        return (ss, key, lap_steps.at[lap_i].set(t),
+                lap_done.at[lap_i].set(done), x_fin)
+
+    init = (ss0, key, jnp.zeros((num_laps, b), jnp.int32),
+            jnp.zeros((num_laps, b), bool), scenarios.x0)
+    _ss, _key, lap_steps, lap_done, final_x = jax.lax.fori_loop(
+        0, num_laps, lap_loop, init)
+    return NlmpcSoaRunResult(lap_steps=lap_steps, lap_done=lap_done,
+                             final_x=final_x)

@@ -1,0 +1,78 @@
+"""Batch-native SoA NLMPC simulator vs the AoS (vmapped) batched sim and the
+reference-behavior envelope.
+
+Noise streams differ between the two sims (per-scenario keys vs one batched
+stream), so comparisons run zero-noise; there the closed-loop decisions must
+coincide (same kNN, same candidate solves up to linear-solve reassociation,
+same lexicographic selection), giving identical lap step counts.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ilqr_iterative_tasks_tpu.control.batched import make_batch_scenarios
+from ilqr_iterative_tasks_tpu.control.batched_nlmpc import simulate_nlmpc_batch
+from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
+    simulate_nlmpc_runs_soa)
+from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
+from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+from ilqr_iterative_tasks_tpu.utils.params import LmpcParams, SystemLimits
+
+DT = jnp.float32
+
+
+def _setup(batch, noise_on=False):
+    params = LmpcParams.make(ss_option="spaceVarying")
+    limits = SystemLimits.make(dtype=DT)
+    xcl, ucl = seed_trajectory(1.0)
+    seed_xs = jnp.zeros((128, 4), DT).at[:121].set(jnp.asarray(xcl, DT))
+    seed_us = jnp.zeros((128, 2), DT).at[:120].set(jnp.asarray(ucl, DT))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, batch,
+                                 noise_on=noise_on, dtype=DT)
+    return params, limits, scs, seed_xs, seed_us, xcl, obstacle
+
+
+@pytest.mark.slow
+def test_nlmpc_soa_converges_and_lanes_agree():
+    params, limits, scs, seed_xs, seed_us, _, _ = _setup(4)
+    res = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us, 121,
+                                  1.0, jax.random.PRNGKey(0), num_laps=3,
+                                  max_steps=128, max_laps=8)
+    steps = np.asarray(res.lap_steps)  # (num_laps, B)
+    assert np.all(np.asarray(res.lap_done))
+    assert (steps == steps[:, :1]).all()  # identical lanes agree
+    assert steps[0, 0] <= 40 and steps[-1, 0] <= 26
+    assert (np.diff(steps[:, 0]) <= 0).all()  # monotone improvement
+
+
+@pytest.mark.slow
+def test_nlmpc_soa_matches_aos_batched_sim():
+    """Zero-noise closed loop: SoA and AoS sims take identical lap counts."""
+    params, limits, scs, seed_xs, seed_us, xcl, obstacle = _setup(2)
+    soa = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us, 121,
+                                  1.0, jax.random.PRNGKey(0), num_laps=3,
+                                  max_steps=128, max_laps=8)
+    aos_scs = make_batch_scenarios(np.zeros(4), xcl[-1], obstacle, 2,
+                                   jax.random.PRNGKey(0), dtype=DT)
+    aos = simulate_nlmpc_batch(params, limits, aos_scs, seed_xs, seed_us, 121,
+                               1.0, num_laps=3, max_steps=128, max_laps=8)
+    np.testing.assert_array_equal(np.asarray(soa.lap_steps),
+                                  np.asarray(aos.lap_steps).T)
+
+
+@pytest.mark.slow
+def test_nlmpc_soa_moving_obstacle():
+    params, limits, _, seed_xs, seed_us, xcl, _ = _setup(2)
+    moving = Obstacle.make(35.0, -16.0, 20.0, 20.0, spd=1.0, moving_option=1,
+                           dtype=DT)
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], moving, 2,
+                                 noise_on=False, dtype=DT)
+    res = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us, 121,
+                                  1.0, jax.random.PRNGKey(0), num_laps=3,
+                                  max_steps=128, max_laps=8)
+    assert np.all(np.asarray(res.lap_done))
+    assert np.asarray(res.lap_steps)[-1, 0] <= 30
