@@ -1,6 +1,7 @@
 """One-off probe: headline learning-run throughput vs scenario batch size.
 
 Usage: python -m ilqr_iterative_tasks_tpu.experiments.batch_probe 65536
+       python -m ilqr_iterative_tasks_tpu.experiments.batch_probe --nlmpc 8192
 Prints one JSON line per batch size (same metric as bench.py).
 """
 
@@ -69,11 +70,61 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
         "completion": round(done, 4)}), flush=True)
 
 
+def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
+              noise_on: bool = True):
+    from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
+    from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
+        simulate_nlmpc_runs_soa)
+    from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+    from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+    from ilqr_iterative_tasks_tpu.utils.params import LmpcParams, SystemLimits
+
+    dtype = jnp.float32
+    params = LmpcParams.make(ss_option="spaceVarying")
+    limits = SystemLimits.make(dtype=dtype)
+    xcl, ucl = seed_trajectory(1.0)
+    max_steps = 128
+    seed_xs = jnp.zeros((max_steps, 4), dtype).at[:121].set(
+        jnp.asarray(xcl, dtype))
+    seed_us = jnp.zeros((max_steps, 2), dtype).at[:120].set(
+        jnp.asarray(ucl, dtype))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
+    scenarios = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, batch,
+                                       noise_on=noise_on, dtype=dtype)
+    kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
+              max_lm_iters=max_lm_iters)
+    t0 = time.time()
+    out = simulate_nlmpc_runs_soa(params, limits, scenarios, seed_xs, seed_us,
+                                  121, 1.0, jax.random.PRNGKey(0), **kw)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = simulate_nlmpc_runs_soa(params, limits, scenarios, seed_xs, seed_us,
+                                  121, 1.0, jax.random.PRNGKey(1), **kw)
+    jax.block_until_ready(out)
+    dt_s = time.time() - t0
+    done = float(jnp.mean(out.lap_done.astype(jnp.float32)))
+    print(json.dumps({
+        "controller": "nlmpc", "batch": batch, "max_lm_iters": max_lm_iters,
+        "lap_sims_per_s": round(batch * num_laps / dt_s, 1),
+        "seconds": round(dt_s, 2), "compile_s": round(compile_s, 1),
+        "completion": round(done, 4)}), flush=True)
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))))
-    for arg in sys.argv[1:] or ["65536"]:
-        if ":" in arg:
+    argv = sys.argv[1:]
+    nlmpc = "--nlmpc" in argv
+    argv = [a for a in argv if a != "--nlmpc"]
+    for arg in argv or (["8192"] if nlmpc else ["65536"]):
+        if nlmpc:
+            if ":" in arg:
+                b, mi = arg.split(":")
+                run_nlmpc(int(b), max_lm_iters=int(mi))
+            else:
+                run_nlmpc(int(arg))
+        elif ":" in arg:
             b, tr = arg.split(":")
             run(int(b), tile_rows=int(tr))
         else:
