@@ -83,6 +83,41 @@ def main():
         times.append(time.perf_counter() - t0)
     best = min(times)
     value = batch * num_laps / best
+
+    # secondary metric: batch-native NLMPC learning runs (fused Pallas LM
+    # shooting when on TPU) — the constrained-MPC controller family
+    from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
+        simulate_nlmpc_runs_soa)
+    from ilqr_iterative_tasks_tpu.utils.params import LmpcParams
+
+    n_batch = 16384 if on_tpu else 32
+    n_params = LmpcParams.make(ss_option="spaceVarying")
+    n_scen = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, n_batch,
+                                    noise_on=True, dtype=dtype)
+    n_kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
+                max_lm_iters=60)
+    if on_tpu and (n_params.num_ss_points * n_batch) % (64 * 128) == 0:
+        from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
+            build_fused_lm_shooting)
+        n_kw["pallas_solver"] = build_fused_lm_shooting(
+            limits, 1.0, num_horizon=n_params.num_horizon, max_iters=60,
+            tile_rows=64)
+
+    def run_nlmpc(seed):
+        res = simulate_nlmpc_runs_soa(
+            n_params, limits, n_scen, seed_xs, seed_us, 121, 1.0,
+            jax.random.PRNGKey(seed), **n_kw)
+        jax.block_until_ready(res)
+        return res
+
+    run_nlmpc(0)  # compile + warm
+    n_times = []
+    for rep in range(1, 3):
+        t0 = time.perf_counter()
+        run_nlmpc(rep)
+        n_times.append(time.perf_counter() - t0)
+    nlmpc_rate = n_batch * num_laps / min(n_times)
+
     print(json.dumps({
         "metric": "i2lqr_lap_sims_per_s_per_chip",
         "value": round(value, 1),
@@ -95,6 +130,8 @@ def main():
             "backend": jax.default_backend(),
             "solver_backend": solver_backend,
             "seconds_per_batch": round(best, 3),
+            "nlmpc_lap_sims_per_s": round(nlmpc_rate, 1),
+            "nlmpc_batch": n_batch,
         },
     }))
 

@@ -45,18 +45,22 @@ class NlmpcSoaRunResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
                                    "goal_append", "sim_step_budget",
-                                   "max_lm_iters"))
+                                   "max_lm_iters", "pallas_solver"))
 def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             scenarios: SoaScenarios, seed_xs, seed_us,
                             seed_len, dt, key, *, num_laps: int,
                             max_steps: int = 128, max_laps: int = 16,
                             goal_append: bool = False,
                             sim_step_budget: int = 121,
-                            max_lm_iters: int = 60) -> NlmpcSoaRunResult:
+                            max_lm_iters: int = 60,
+                            pallas_solver=None) -> NlmpcSoaRunResult:
     """Seed + ``num_laps`` NLMPC learning laps for B scenarios, batch-trailing.
 
     seed_xs: (max_steps, 4) shared seed lap (padded); seed_us: (max_steps, 2);
-    seed_len: scalar count of seed states.
+    seed_len: scalar count of seed states. ``pallas_solver``: optional fused
+    kernel from ops.pallas_lm_shooting.build_fused_lm_shooting (build with the
+    SAME limits/dt/horizon and matching max_iters); k*B must be a multiple of
+    its tile size. Static arg: a new factory function triggers a retrace.
     """
     n = params.num_horizon
     k = params.num_ss_points
@@ -115,13 +119,27 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             x_terms = jnp.stack(
                 [_gather_cols(st[:, i], idx_bk) for i in range(4)])  # (4,K,B)
             q_terms = _gather_cols(qfun[lap_id_c], idx_bk)  # (K, B)
-            sol = lm_feasibility_solve_soa(
-                limits, obstacle, x0b, x_terms, u_warm_kb, dt,
-                num_horizon=n, max_iters=max_lm_iters)
-            cost = jnp.where(sol.feasible & lap_ok,
+            if pallas_solver is not None:
+                from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
+                    obstacle_to_lanes_nlmpc)
+                obs_l = obstacle_to_lanes_nlmpc(obstacle, b)  # (7, B)
+                obs_kb = jnp.broadcast_to(
+                    obs_l[:, None, :], (7, k, b)).reshape(7, k * b)
+                us_f, _xl, _te, fe_f = pallas_solver(
+                    x0b.reshape(4, k * b), x_terms.reshape(4, k * b),
+                    u_warm_kb.reshape(n, 2, k * b), obs_kb)
+                sol_us = us_f.reshape(n, 2, k, b)
+                feasible = fe_f.reshape(k, b) > 0.5
+            else:
+                sol = lm_feasibility_solve_soa(
+                    limits, obstacle, x0b, x_terms, u_warm_kb, dt,
+                    num_horizon=n, max_iters=max_lm_iters)
+                sol_us = sol.us
+                feasible = sol.feasible
+            cost = jnp.where(feasible & lap_ok,
                              float(n) + q_terms, jnp.inf)
             rows_cost.append(cost)
-            rows_us.append(sol.us)  # (N, 2, K, B)
+            rows_us.append(sol_us)  # (N, 2, K, B)
             rows_idx.append(idx_bk.T)  # (K, B)
             rows_lap.append(jnp.full((b,), lap_id_c, jnp.int32))
         cost_rows = jnp.stack(rows_cost)  # (L, K, B)

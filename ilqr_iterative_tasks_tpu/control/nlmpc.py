@@ -203,7 +203,7 @@ class NlmpcController:
             self.x_guess[X_DIM * (n + 1) + U_DIM * (n - 1):
                          X_DIM * (n + 1) + U_DIM * n] = (
                 self.safe_set.u_ss[best_lap][:, chosen])
-        else:
+        elif n > 1:
             self.x_terminal_guess = x_pred_flat[
                 X_DIM * n: X_DIM * (n + 1)].copy()
             new_guess = np.zeros(n * X_DIM + (n - 1) * U_DIM)
@@ -212,4 +212,14 @@ class NlmpcController:
                 u_pred_flat[U_DIM: U_DIM * n])
             self.x_guess = new_guess
             self.num_horizon = n - 1
+        else:
+            # Horizon floor. The reference decrements unguarded
+            # (base.py:651-654) and would call nlmpc() with num_horizon=0,
+            # which its NLP builder cannot represent — a latent crash its
+            # published scenarios happen not to trigger. Keep n=1 and
+            # re-center the guess on the predicted terminal state; if the
+            # reach check keeps failing the step is reported infeasible and
+            # the lap times out at the budget.
+            self.x_terminal_guess = x_pred_flat[
+                X_DIM * n: X_DIM * (n + 1)].copy()
         self.time += self.timestep

@@ -71,7 +71,8 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
 
 
 def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
-              noise_on: bool = True):
+              noise_on: bool = True, pallas: bool = False,
+              tile_rows: int = 64):
     from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
     from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
         simulate_nlmpc_runs_soa)
@@ -93,6 +94,12 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
                                        noise_on=noise_on, dtype=dtype)
     kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
               max_lm_iters=max_lm_iters)
+    if pallas:
+        from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
+            build_fused_lm_shooting)
+        kw["pallas_solver"] = build_fused_lm_shooting(
+            limits, 1.0, num_horizon=params.num_horizon,
+            max_iters=max_lm_iters, tile_rows=tile_rows)
     t0 = time.time()
     out = simulate_nlmpc_runs_soa(params, limits, scenarios, seed_xs, seed_us,
                                   121, 1.0, jax.random.PRNGKey(0), **kw)
@@ -106,6 +113,7 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
     done = float(jnp.mean(out.lap_done.astype(jnp.float32)))
     print(json.dumps({
         "controller": "nlmpc", "batch": batch, "max_lm_iters": max_lm_iters,
+        "solver_backend": "pallas" if pallas else "soa",
         "lap_sims_per_s": round(batch * num_laps / dt_s, 1),
         "seconds": round(dt_s, 2), "compile_s": round(compile_s, 1),
         "completion": round(done, 4)}), flush=True)
@@ -116,14 +124,17 @@ if __name__ == "__main__":
         os.path.abspath(__file__)))))
     argv = sys.argv[1:]
     nlmpc = "--nlmpc" in argv
-    argv = [a for a in argv if a != "--nlmpc"]
+    pallas = "--pallas" in argv
+    argv = [a for a in argv if a not in ("--nlmpc", "--pallas")]
     for arg in argv or (["8192"] if nlmpc else ["65536"]):
         if nlmpc:
             if ":" in arg:
-                b, mi = arg.split(":")
-                run_nlmpc(int(b), max_lm_iters=int(mi))
+                parts = arg.split(":")
+                run_nlmpc(int(parts[0]), max_lm_iters=int(parts[1]),
+                          pallas=pallas,
+                          tile_rows=int(parts[2]) if len(parts) > 2 else 64)
             else:
-                run_nlmpc(int(arg))
+                run_nlmpc(int(arg), pallas=pallas, tile_rows=64)
         elif ":" in arg:
             b, tr = arg.split(":")
             run(int(b), tile_rows=int(tr))

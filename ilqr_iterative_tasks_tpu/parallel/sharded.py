@@ -163,3 +163,26 @@ def dryrun(n_devices: int) -> None:
         jnp.zeros((4, 2), dtype), 1.0, 1.0, num_horizon=4, mesh=mesh_c)
     jax.block_until_ready((us, xs_w, cost, idx))
     assert us.shape == (4, 2) and xs_w.shape == (5, 4)
+
+    # --- 3) production SoA sims (batch-trailing), trailing-axis sharded ---
+    from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
+    from ilqr_iterative_tasks_tpu.parallel.sharded_soa import (
+        simulate_learning_runs_soa_sharded, simulate_nlmpc_runs_soa_sharded)
+    from ilqr_iterative_tasks_tpu.utils.params import LmpcParams
+
+    b = 2 * n_devices  # >= 2 lanes per device (B=1 hits an XLA:CPU pathology)
+    soa_sc = SoaScenarios.broadcast(np.zeros(4), goal, obstacle, b,
+                                    dtype=dtype)
+    res_i = simulate_learning_runs_soa_sharded(
+        params, limits, soa_sc, seed_xs, seed_us, 9, 1.0,
+        jax.random.PRNGKey(1), mesh, num_laps=1, max_steps=max_steps,
+        max_laps=4, sim_step_budget=4, solver_max_iter=8)
+    jax.block_until_ready(res_i)
+    assert res_i.lap_steps.shape == (1, b)
+    lmpc_params = LmpcParams.make(num_ss_points=4)
+    res_n = simulate_nlmpc_runs_soa_sharded(
+        lmpc_params, limits, soa_sc, seed_xs, seed_us, 9, 1.0,
+        jax.random.PRNGKey(2), mesh, num_laps=1, max_steps=max_steps,
+        max_laps=4, sim_step_budget=4, max_lm_iters=8)
+    jax.block_until_ready(res_n)
+    assert res_n.lap_steps.shape == (1, b)
