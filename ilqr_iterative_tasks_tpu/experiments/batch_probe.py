@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 
 def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
-        tile_rows: int = 128):
+        tile_rows: int = 128, noise_on: bool = True):
     from ilqr_iterative_tasks_tpu.control.batched_soa import (
         SoaScenarios, simulate_learning_runs_soa)
     from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
@@ -43,7 +43,7 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
         jnp.asarray(ucl, dtype))
     obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
     scenarios = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, batch,
-                                       noise_on=True, dtype=dtype)
+                                       noise_on=noise_on, dtype=dtype)
     kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
               solver_max_iter=solver_max_iter)
     if on_tpu:
@@ -64,10 +64,15 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
     dt_s = time.time() - t0
     rate = batch * num_laps / dt_s
     done = float(jnp.mean(out.lap_done.astype(jnp.float32)))
+    mean_steps = [round(float(v), 2)
+                  for v in jnp.mean(out.lap_steps.astype(jnp.float32),
+                                    axis=-1)]
     print(json.dumps({
-        "batch": batch, "tile_rows": tile_rows, "lap_sims_per_s": round(rate, 1),
+        "batch": batch, "tile_rows": tile_rows, "cap": solver_max_iter,
+        "lap_sims_per_s": round(rate, 1),
         "seconds": round(dt_s, 2), "compile_s": round(compile_s, 1),
-        "completion": round(done, 4)}), flush=True)
+        "completion": round(done, 4),
+        "mean_lap_steps": mean_steps}), flush=True)
 
 
 def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
@@ -136,7 +141,8 @@ if __name__ == "__main__":
             else:
                 run_nlmpc(int(arg), pallas=pallas, tile_rows=64)
         elif ":" in arg:
-            b, tr = arg.split(":")
-            run(int(b), tile_rows=int(tr))
+            parts = arg.split(":")
+            run(int(parts[0]), tile_rows=int(parts[1]),
+                solver_max_iter=int(parts[2]) if len(parts) > 2 else 40)
         else:
             run(int(arg))

@@ -18,6 +18,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "ilqr_native.cpp")
 _SRC_RUNNER = os.path.join(_NATIVE_DIR, "i2lqr_runner.cpp")
+_SRC_NLMPC = os.path.join(_NATIVE_DIR, "nlmpc_runner.cpp")
 _LIB = os.path.join(_NATIVE_DIR, "libilqr_native.so")
 
 
@@ -44,13 +45,14 @@ class NativeParams(ctypes.Structure):
 
 def build(force: bool = False) -> str:
     """Compile the shared library if missing/stale; returns its path."""
-    newest_src = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_RUNNER))
+    newest_src = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_RUNNER),
+                     os.path.getmtime(_SRC_NLMPC))
     if (not force and os.path.exists(_LIB)
             and os.path.getmtime(_LIB) >= newest_src):
         return _LIB
     subprocess.run(
         ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-         _SRC, _SRC_RUNNER, "-o", _LIB],
+         _SRC, _SRC_RUNNER, _SRC_NLMPC, "-o", _LIB],
         check=True, capture_output=True)
     return _LIB
 
@@ -75,6 +77,11 @@ def load():
         lib.bicycle_step_native.argtypes = [dp, dp, ctypes.c_double, dp]
         lib.run_i2lqr_closed_loop.restype = ctypes.c_int
         lib.run_i2lqr_closed_loop.argtypes = [
+            ctypes.POINTER(NativeParams), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.run_nlmpc_closed_loop.restype = ctypes.c_int
+        lib.run_nlmpc_closed_loop.argtypes = [
             ctypes.POINTER(NativeParams), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_double,
             ctypes.POINTER(ctypes.c_int)]
@@ -185,4 +192,33 @@ def run_i2lqr_closed_loop_native(params, limits, obstacle, lap_number: int,
     completed = lib.run_i2lqr_closed_loop(
         ctypes.byref(p), lap_number, int(params.num_ss_points),
         int(params.num_ss_iter), int(params.num_horizon), float(dt), steps)
+    return list(steps), int(completed)
+
+
+def run_nlmpc_closed_loop_native(lmpc_params, limits, obstacle,
+                                 lap_number: int, dt: float = 1.0):
+    """Full native (C++) NLMPC learning run: seed + lap_number laps.
+    Returns (lap_steps list, completed count). Only the bound/obstacle fields
+    of NativeParams are consumed by the LM-shooting feasibility path."""
+    lib = load()
+    p = NativeParams()
+    p.a_max = float(limits.a_max)
+    p.delta_max = float(limits.delta_max)
+    p.delta_max_r = float(limits.delta_max_r)
+    if obstacle is not None and float(np.asarray(obstacle.present)) > 0:
+        p.ox = float(np.asarray(obstacle.x))
+        p.oy = float(np.asarray(obstacle.y))
+        p.ow = float(np.asarray(obstacle.width))
+        p.oh = float(np.asarray(obstacle.height))
+        p.ospd = float(np.asarray(obstacle.spd))
+        p.omove = int(float(np.asarray(obstacle.moving_option)))
+        p.opresent = 1
+    else:
+        p.ow = p.oh = 1.0
+        p.opresent = 0
+    steps = (ctypes.c_int * lap_number)()
+    completed = lib.run_nlmpc_closed_loop(
+        ctypes.byref(p), lap_number, int(lmpc_params.num_ss_points),
+        int(lmpc_params.num_ss_iter), int(lmpc_params.num_horizon),
+        float(dt), steps)
     return list(steps), int(completed)

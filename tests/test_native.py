@@ -100,3 +100,20 @@ def test_native_full_closed_loop_matches_jax_controller(nb):
     assert completed == 5
     for got, want in zip(steps, [55, 28, 23, 23, 23]):
         assert abs(got - want) <= 1, steps
+
+
+def test_native_nlmpc_closed_loop(nb):
+    """The complete C++ NLMPC closed-loop run (native/nlmpc_runner.cpp) must
+    converge monotonically to the host controller's 22-23-step optimum
+    (control/nlmpc.py gives [33, 23, 23] on the same config; the native LM
+    uses a finite-difference Jacobian, so convergence details differ by a
+    step)."""
+    from ilqr_iterative_tasks_tpu.utils.params import LmpcParams
+
+    params = LmpcParams.make(ss_option="spaceVarying")
+    limits = SystemLimits.make(dtype=DT)
+    obs = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    steps, completed = nb.run_nlmpc_closed_loop_native(params, limits, obs, 5)
+    assert completed == 5
+    assert all(a >= b for a, b in zip(steps, steps[1:])), steps
+    assert steps[0] <= 40 and steps[-1] <= 24, steps
