@@ -53,18 +53,21 @@ def main():
     obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
     scenarios = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, batch,
                                        noise_on=True, dtype=dtype)
+    # Lockstep LM cap 16: measured behavior-neutral vs cap 40/150 (mean lap
+    # steps within 0.3, completion 0.9973 vs 0.9955 — docs/PERF.md ladder);
+    # cap 12 starts degrading laps. +26% throughput over cap 40.
     kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
-              solver_max_iter=40)
+              solver_max_iter=16)
     solver_backend = "soa"
     if on_tpu:
         # fused Pallas candidate solver: ~1.6x over the XLA SoA path
         # (k * batch lanes must divide the kernel tile)
         from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import build_fused_ilqr
         k = params.num_ss_points
-        if (k * batch) % (128 * 128) == 0:
+        if (k * batch) % (64 * 128) == 0:
             kw["pallas_solver"] = build_fused_ilqr(
                 params, limits, 1.0, num_horizon=params.num_horizon,
-                max_iter=40, tile_rows=128)
+                max_iter=16, tile_rows=64)
             solver_backend = "pallas"
 
     def run(seed):
@@ -94,13 +97,15 @@ def main():
     n_params = LmpcParams.make(ss_option="spaceVarying")
     n_scen = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, n_batch,
                                     noise_on=True, dtype=dtype)
+    # Lockstep LM cap 12: behavior-neutral vs cap 60 (mean lap steps within
+    # 0.02, completion 1.0 — docs/PERF.md ladder; cap 8 starts drifting).
     n_kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
-                max_lm_iters=60)
+                max_lm_iters=12)
     if on_tpu and (n_params.num_ss_points * n_batch) % (64 * 128) == 0:
         from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
             build_fused_lm_shooting)
         n_kw["pallas_solver"] = build_fused_lm_shooting(
-            limits, 1.0, num_horizon=n_params.num_horizon, max_iters=60,
+            limits, 1.0, num_horizon=n_params.num_horizon, max_iters=12,
             tile_rows=64)
 
     def run_nlmpc(seed):

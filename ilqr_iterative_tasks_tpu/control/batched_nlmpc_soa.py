@@ -41,6 +41,11 @@ class NlmpcSoaRunResult(NamedTuple):
     lap_steps: jnp.ndarray  # (num_laps, B)
     lap_done: jnp.ndarray  # (num_laps, B)
     final_x: jnp.ndarray  # (4, B)
+    # checkpoint state (see control/batched_soa.py / utils/checkpoint.py):
+    # pass (safe_set, lap_count, final_key) back via ``resume_from``
+    safe_set: tuple = ()  # (states, inputs, qfun, valid, lap_len)
+    lap_count: jnp.ndarray = None
+    final_key: jnp.ndarray = None
 
 
 @partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
@@ -53,7 +58,8 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             goal_append: bool = False,
                             sim_step_budget: int = 121,
                             max_lm_iters: int = 60,
-                            pallas_solver=None) -> NlmpcSoaRunResult:
+                            pallas_solver=None,
+                            resume_from=None) -> NlmpcSoaRunResult:
     """Seed + ``num_laps`` NLMPC learning laps for B scenarios, batch-trailing.
 
     seed_xs: (max_steps, 4) shared seed lap (padded); seed_us: (max_steps, 2);
@@ -91,10 +97,16 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                 valid.at[slot].set(valid_row),
                 lap_len.at[slot].set(n_valid.astype(jnp.int32)))
 
-    seed_rec = jnp.broadcast_to(seed_xs[:, :, None], (max_steps, 4, b))
-    seed_urec = jnp.broadcast_to(seed_us[:, :, None], (max_steps, 2, b))
-    ss0 = add_lap((ss_states, ss_inputs, ss_qfun, ss_valid, ss_lap_len), 0,
-                  seed_rec, seed_urec, jnp.full((b,), seed_len, jnp.int32))
+    if resume_from is None:
+        seed_rec = jnp.broadcast_to(seed_xs[:, :, None], (max_steps, 4, b))
+        seed_urec = jnp.broadcast_to(seed_us[:, :, None], (max_steps, 2, b))
+        ss0 = add_lap((ss_states, ss_inputs, ss_qfun, ss_valid, ss_lap_len),
+                      0, seed_rec, seed_urec,
+                      jnp.full((b,), seed_len, jnp.int32))
+        lap0 = jnp.asarray(1, jnp.int32)
+    else:
+        ss0, lap0, key = resume_from
+        lap0 = jnp.asarray(lap0, jnp.int32)
 
     def solve_step(ss, lap_count, x, guess, u_warm, obstacle):
         """One NLMPC calc_input for all B lanes.
@@ -232,7 +244,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
 
     def lap_loop(lap_i, carry):
         ss, key, lap_steps, lap_done, final_x = carry
-        lap_count = lap_i + 1  # safe set holds seed + lap_i learning laps
+        lap_count = lap_i + lap0  # laps stored so far (seed + learned)
         newest = lap_count - 1
         # per-lap warm start from the newest lap (base.py:661-675)
         st_new = jnp.take(ss[0], newest, axis=0)  # (T, 4, B)
@@ -252,7 +264,8 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
 
     init = (ss0, key, jnp.zeros((num_laps, b), jnp.int32),
             jnp.zeros((num_laps, b), bool), scenarios.x0)
-    _ss, _key, lap_steps, lap_done, final_x = jax.lax.fori_loop(
+    ss, key, lap_steps, lap_done, final_x = jax.lax.fori_loop(
         0, num_laps, lap_loop, init)
     return NlmpcSoaRunResult(lap_steps=lap_steps, lap_done=lap_done,
-                             final_x=final_x)
+                             final_x=final_x, safe_set=ss,
+                             lap_count=lap0 + num_laps, final_key=key)

@@ -57,6 +57,11 @@ class SoaRunResult(NamedTuple):
     lap_steps: jnp.ndarray  # (num_laps, B)
     lap_done: jnp.ndarray  # (num_laps, B)
     final_x: jnp.ndarray  # (4, B)
+    # checkpoint state: pass (safe_set, lap_count, final_key) back in via
+    # ``resume_from`` to continue the sweep exactly where it stopped
+    safe_set: tuple = ()  # (states, qfun, valid, lap_len) batch-trailing
+    lap_count: jnp.ndarray = None  # scalar: laps stored incl. seed
+    final_key: jnp.ndarray = None
 
 
 def _gather_cols(arr_tb, idx_bk):
@@ -101,7 +106,8 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                goal_append: bool = True,
                                sim_step_budget: int = 121,
                                solver_max_iter: int | None = None,
-                               pallas_solver=None) -> SoaRunResult:
+                               pallas_solver=None,
+                               resume_from=None) -> SoaRunResult:
     """Seed + ``num_laps`` learning laps for B scenarios, batch-trailing.
 
     seed_xs: (max_steps, 4) shared seed lap (padded); seed_us: (max_steps, 2);
@@ -111,6 +117,11 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
     ops.pallas_ilqr.build_fused_ilqr (build it with the SAME params/limits/dt
     and matching max_iter); k*B must be a multiple of its tile size. Static
     arg: a new factory function triggers a retrace.
+
+    ``resume_from``: optional (safe_set, lap_count, key) checkpoint from a
+    previous result — the run continues with the stored safe set (the seed
+    args are ignored) and runs ``num_laps`` FURTHER laps; exact resume
+    requires passing the checkpointed key (utils.checkpoint.save_soa_run).
     """
     n = params.num_horizon
     k = params.num_ss_points
@@ -140,9 +151,14 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                 valid.at[slot].set(valid_row),
                 lap_len.at[slot].set(n_valid.astype(jnp.int32)))
 
-    seed_rec = jnp.broadcast_to(seed_xs[:, :, None], (max_steps, 4, b))
-    ss0 = add_lap((ss_states, ss_qfun, ss_valid, ss_lap_len), 0, seed_rec,
-                  jnp.full((b,), seed_len, jnp.int32))
+    if resume_from is None:
+        seed_rec = jnp.broadcast_to(seed_xs[:, :, None], (max_steps, 4, b))
+        ss0 = add_lap((ss_states, ss_qfun, ss_valid, ss_lap_len), 0, seed_rec,
+                      jnp.full((b,), seed_len, jnp.int32))
+        lap0 = jnp.asarray(1, jnp.int32)  # safe set holds the seed lap
+    else:
+        ss0, lap0, key = resume_from
+        lap0 = jnp.asarray(lap0, jnp.int32)
 
     def solve_step(ss, lap_count, x, obstacle):
         """One i2LQR calc_input for all B lanes.
@@ -301,7 +317,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
 
     def lap_loop(lap_i, carry):
         ss, key, lap_steps, lap_done = carry
-        lap_count = lap_i + 1  # safe set holds seed + lap_i learning laps
+        lap_count = lap_i + lap0  # laps stored so far (seed + learned)
         xs_rec, t, done, key = run_lap(ss, lap_count, key)
         if goal_append:
             # goal appended as an extra recorded row (tests/ilqr_test.py:51)
@@ -320,4 +336,5 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             jnp.zeros((num_laps, b), bool))
     ss, key, lap_steps, lap_done = jax.lax.fori_loop(0, num_laps, lap_loop, init)
     return SoaRunResult(lap_steps=lap_steps, lap_done=lap_done,
-                        final_x=scenarios.goal)
+                        final_x=scenarios.goal, safe_set=ss,
+                        lap_count=lap0 + num_laps, final_key=key)

@@ -116,12 +116,16 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
     jax.block_until_ready(out)
     dt_s = time.time() - t0
     done = float(jnp.mean(out.lap_done.astype(jnp.float32)))
+    mean_steps = [round(float(v), 2)
+                  for v in jnp.mean(out.lap_steps.astype(jnp.float32),
+                                    axis=-1)]
     print(json.dumps({
         "controller": "nlmpc", "batch": batch, "max_lm_iters": max_lm_iters,
         "solver_backend": "pallas" if pallas else "soa",
         "lap_sims_per_s": round(batch * num_laps / dt_s, 1),
         "seconds": round(dt_s, 2), "compile_s": round(compile_s, 1),
-        "completion": round(done, 4)}), flush=True)
+        "completion": round(done, 4),
+        "mean_lap_steps": mean_steps}), flush=True)
 
 
 if __name__ == "__main__":

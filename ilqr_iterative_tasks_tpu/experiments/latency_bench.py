@@ -33,6 +33,19 @@ def bench_step_latency():
     return metrics.summary_dict(res)
 
 
+def bench_step_latency_nlmpc():
+    from ilqr_iterative_tasks_tpu.control.nlmpc import NlmpcController
+    from ilqr_iterative_tasks_tpu.experiments.runner import (
+        default_obstacle, run_closed_loop)
+    from ilqr_iterative_tasks_tpu.utils import metrics
+    from ilqr_iterative_tasks_tpu.utils.params import LmpcParams
+
+    ctrl = NlmpcController(LmpcParams.make(ss_option="spaceVarying"),
+                           obstacle=default_obstacle(1.0))
+    res = run_closed_loop(ctrl, lap_number=3, dt=1.0)
+    return metrics.summary_dict(res)
+
+
 def bench_solver_throughput(batches):
     import jax
     import jax.numpy as jnp
@@ -129,6 +142,7 @@ def main(argv=None):
     report["backend"] = jax.default_backend()
     if not args.skip_latency:
         report["per_step_latency"] = bench_step_latency()
+        report["per_step_latency_nlmpc"] = bench_step_latency_nlmpc()
     report["soa_solves_per_s"] = bench_solver_throughput(
         [int(b) for b in args.batches.split(",")])
     report["lap_sims_per_s_by_devices"] = bench_device_scaling(

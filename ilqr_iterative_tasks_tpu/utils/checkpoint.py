@@ -40,6 +40,38 @@ def load_run(path: str) -> dict:
         return {k: z[k] for k in z.files}
 
 
+def save_soa_run(path: str, result) -> None:
+    """Checkpoint a batched SoA run (SoaRunResult / NlmpcSoaRunResult): the
+    device safe-set tensors + lap count + PRNG key, enough for EXACT resume
+    via ``simulate_*_runs_soa(..., resume_from=...)``."""
+    payload = {
+        "lap_count": np.asarray(result.lap_count),
+        "key": np.asarray(result.final_key),
+        "lap_steps": np.asarray(result.lap_steps),
+        "lap_done": np.asarray(result.lap_done),
+        "num_ss_tensors": np.asarray(len(result.safe_set)),
+    }
+    for i, t in enumerate(result.safe_set):
+        payload[f"ss_{i}"] = np.asarray(t)
+    np.savez_compressed(path, **payload)
+
+
+def load_soa_run(path: str):
+    """Returns (resume_from tuple, lap_steps, lap_done). Feed resume_from and
+    its key into the matching SoA simulator to continue the sweep:
+
+        ck, steps, done = load_soa_run(p)
+        res = simulate_learning_runs_soa(..., ck[2], resume_from=ck, ...)
+    """
+    import jax.numpy as jnp
+
+    with np.load(path, allow_pickle=False) as z:
+        ss = tuple(jnp.asarray(z[f"ss_{i}"])
+                   for i in range(int(z["num_ss_tensors"])))
+        resume = (ss, jnp.asarray(z["lap_count"]), jnp.asarray(z["key"]))
+        return resume, z["lap_steps"], z["lap_done"]
+
+
 def restore_safe_set(path: str) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Returns [(x (T+1,4) row-major, u (T,2)), ...] per stored lap, ready to
     replay through ``controller.add_trajectory`` for exact resume."""

@@ -163,3 +163,36 @@ def test_batched_soa_moving_obstacle():
     steps = np.asarray(res.lap_steps)[:, 0]
     assert np.all(res.lap_done)
     assert steps[-1] <= 35  # learns despite the moving obstacle
+
+
+@pytest.mark.slow
+def test_soa_checkpoint_exact_resume(tmp_path):
+    """2 laps + checkpoint + 1 resumed lap == 3 laps in one run, exactly
+    (same safe-set tensors, same PRNG key threading)."""
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        SoaScenarios, simulate_learning_runs_soa)
+    from ilqr_iterative_tasks_tpu.utils.checkpoint import (
+        load_soa_run, save_soa_run)
+
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 2,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=None, max_steps=128, max_laps=8, solver_max_iter=40)
+    key = jax.random.PRNGKey(7)
+
+    kw["num_laps"] = 3
+    full = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                      121, 1.0, key, **kw)
+    kw["num_laps"] = 2
+    part = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                      121, 1.0, key, **kw)
+    path = str(tmp_path / "ck.npz")
+    save_soa_run(path, part)
+    resume, steps_part, _ = load_soa_run(path)
+    kw["num_laps"] = 1
+    rest = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                      121, 1.0, resume[2], resume_from=resume,
+                                      **kw)
+    got = np.concatenate([steps_part, np.asarray(rest.lap_steps)], axis=0)
+    np.testing.assert_array_equal(got, np.asarray(full.lap_steps))
+    assert int(rest.lap_count) == 4  # seed + 3 learned laps

@@ -76,3 +76,26 @@ def test_nlmpc_soa_moving_obstacle():
                                   max_steps=128, max_laps=8)
     assert np.all(np.asarray(res.lap_done))
     assert np.asarray(res.lap_steps)[-1, 0] <= 30
+
+
+@pytest.mark.slow
+def test_nlmpc_soa_checkpoint_exact_resume(tmp_path):
+    """2 laps + checkpoint + 1 resumed lap == 3 laps in one run, exactly."""
+    from ilqr_iterative_tasks_tpu.utils.checkpoint import (
+        load_soa_run, save_soa_run)
+
+    params, limits, scs, seed_xs, seed_us, _, _ = _setup(2, noise_on=True)
+    key = jax.random.PRNGKey(11)
+    kw = dict(max_steps=128, max_laps=8)
+    full = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us, 121,
+                                   1.0, key, num_laps=3, **kw)
+    part = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us, 121,
+                                   1.0, key, num_laps=2, **kw)
+    path = str(tmp_path / "ck.npz")
+    save_soa_run(path, part)
+    resume, steps_part, _ = load_soa_run(path)
+    rest = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us, 121,
+                                   1.0, resume[2], num_laps=1,
+                                   resume_from=resume, **kw)
+    got = np.concatenate([steps_part, np.asarray(rest.lap_steps)], axis=0)
+    np.testing.assert_array_equal(got, np.asarray(full.lap_steps))
