@@ -163,10 +163,18 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
     def solve_step(ss, lap_count, x, obstacle):
         """One i2LQR calc_input for all B lanes.
 
-        x: (4, B). Returns u (2, B), u_old (N, 2, B), shrink (B,)."""
+        x: (4, B). Returns u (2, B), u_old (N, 2, B), shrink (B,).
+
+        NOTE: candidate solves are zeros-initialized per candidate, as in the
+        reference (base.py:405). Warm-starting from the carried plan was
+        measured to TRAP the LM in the previous local solution (laps stall at
+        ~30 steps vs 24) with no throughput win — do not "optimize" this.
+        """
         states, qfun, valid, lap_len = ss
+        zeros_ws = jnp.zeros((n, 2, b), dtype)
 
         def one_pass(outer: int, x_guess):
+            u_ws = zeros_ws
             rows_cost, rows_sol_us, rows_sol_xN, rows_idx, rows_lap = \
                 [], [], [], [], []
             row_ok = []
@@ -185,6 +193,8 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                     [_gather_cols(st[:, i], idx_bk) for i in range(4)])  # (4,K,B)
                 q_terms = _gather_cols(qfun[lap_id_c], idx_bk)  # (K, B)
                 x0b = jnp.broadcast_to(x[:, None, :], (4, k, b))
+                u_init_kb = jnp.broadcast_to(u_ws[:, :, None, :],
+                                             (n, 2, k, b))
                 if pallas_solver is not None:
                     from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import (
                         obstacle_to_lanes)
@@ -193,14 +203,14 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                         obs_l[:, None, :], (6, k, b)).reshape(6, k * b)
                     us_f, xl_f, cost_f, d_f = pallas_solver(
                         x0b.reshape(4, k * b), x_terms.reshape(4, k * b),
-                        obs_kb)
+                        u_init_kb.reshape(n, 2, k * b), obs_kb)
                     sol_us = us_f.reshape(n, 2, k, b)
                     x_last = xl_f.reshape(4, k, b)
                     d = d_f.reshape(k, b)
                 else:
                     sol = ilqr_solve_soa(
                         params, limits, obstacle, x0b, x_terms,
-                        jnp.zeros((n, 2, k, b), dtype), params.lamb, dt,
+                        u_init_kb, params.lamb, dt,
                         num_horizon=n, max_iter=solver_max_iter)
                     sol_us = sol.us
                     x_last = sol.xs[-1]
@@ -261,7 +271,8 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             (x, t, done, obstacle, horizon_left, replay_pos, u_old, xs_rec,
              key) = c
             in_replay = horizon_left < n  # (B,)
-            u_solve, u_old_new, shrink = solve_step(ss, lap_count, x, obstacle)
+            u_solve, u_old_new, shrink = solve_step(ss, lap_count, x,
+                                                    obstacle)
             # replay branch: stored input at replay_pos per lane
             p = jnp.clip(replay_pos, 0, n - 1)
             u_replay = jnp.take_along_axis(

@@ -59,8 +59,11 @@ def obstacle_to_lanes(obstacle: Obstacle, batch: int) -> jnp.ndarray:
 def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
                      *, num_horizon: int, max_iter: int = 150,
                      tile_rows: int = TILE_ROWS, interpret: bool = False):
-    """Factory: returns fn(x0 (4,B), x_term (4,B), obs (6,B)) ->
-    (us (N,2,B), x_last (4,B), cost (B,), dist (B,)).
+    """Factory: returns fn(x0 (4,B), x_term (4,B), u_init (N,2,B), obs (6,B))
+    -> (us (N,2,B), x_last (4,B), cost (B,), dist (B,)).
+
+    u_init warm-starts the LM loop (pass zeros for the reference's
+    zeros-init-per-candidate semantics, iterative_ilqr/utils/base.py:405).
 
     Hyperparameters are baked as constants (call the factory again on change).
     B must be a multiple of tile_rows*128 (pad the candidate batch).
@@ -112,7 +115,8 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
                 acc = acc + 2.0 * float(m[row, j]) * d[j]
         return acc
 
-    def kernel(x0_ref, xt_ref, obs_ref, us_ref, xl_ref, cost_ref, dist_ref):
+    def kernel(x0_ref, xt_ref, ui_ref, obs_ref, us_ref, xl_ref, cost_ref,
+               dist_ref):
         shp = (tile_rows, 128)
         x0c = tuple(x0_ref[i].reshape(shp) for i in range(4))
         xt = tuple(xt_ref[i].reshape(shp) for i in range(4))
@@ -359,10 +363,12 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
                 done_f, (converged | diverged).astype(jnp.float32))
             return (it + 1, done_next, lamb_next) + us_next
 
-        zero = jnp.zeros(shp, jnp.float32)
+        ui = []
+        for i in range(n):
+            ui.append(ui_ref[i, 0].reshape(shp))
+            ui.append(ui_ref[i, 1].reshape(shp))
         init = ((jnp.asarray(0), jnp.zeros(shp, jnp.float32),
-                 jnp.full(shp, lamb0, jnp.float32))
-                + tuple(zero for _ in range(2 * n)))
+                 jnp.full(shp, lamb0, jnp.float32)) + tuple(ui))
         final = jax.lax.while_loop(cond, body, init)
         us = [clip_u(u) for u in unflatten_us(final[3:])]
         xs = rollout(us)
@@ -378,7 +384,7 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
         dist_ref[...] = dist.reshape(tile)
 
     @jax.jit
-    def solve(x0, x_term, obs_lanes):
+    def solve(x0, x_term, u_init, obs_lanes):
         b = x_term.shape[-1]
         assert b % tile == 0, f"batch {b} must be a multiple of {tile}"
         grid = (b // tile,)
@@ -389,6 +395,8 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
                 pl.BlockSpec((4, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((4, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 2, tile), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((6, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -410,6 +418,6 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
                 jax.ShapeDtypeStruct((b,), jnp.float32),
             ],
             interpret=interpret,
-        )(x0, x_term, obs_lanes)
+        )(x0, x_term, u_init, obs_lanes)
 
     return solve

@@ -82,3 +82,23 @@ def test_metrics_summary():
     assert s["num_solves"] > 0
     assert 0 < s["solve_latency_p50_s"] < 1.0  # under the 1 s real-time budget
     assert s["monotone_improvement"]
+
+
+def test_viz_smoke(tmp_path, monkeypatch):
+    """Plot functions render without a display (Agg) — parity surface for
+    base.py:728-762 and :36-48."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from ilqr_iterative_tasks_tpu.control.i2lqr import I2LqrController
+    from ilqr_iterative_tasks_tpu.experiments.runner import (
+        default_obstacle, run_closed_loop)
+    from ilqr_iterative_tasks_tpu.utils import viz
+    from ilqr_iterative_tasks_tpu.utils.params import IlqrParams
+
+    ctrl = I2LqrController(IlqrParams.make(), obstacle=default_obstacle(1.0))
+    res = run_closed_loop(ctrl, lap_number=1, dt=1.0, goal_fixup="append")
+    fig1 = viz.plot_inputs(res.plant, show=False)
+    fig2 = viz.plot_closed_loop(res.plant, ctrl, show=False)
+    fig1.savefig(tmp_path / "inputs.png")
+    fig2.savefig(tmp_path / "traj.png")
+    assert (tmp_path / "inputs.png").stat().st_size > 0

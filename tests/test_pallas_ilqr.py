@@ -42,7 +42,8 @@ def test_pallas_matches_soa_at_decision_level():
     x0 = jnp.zeros((4, batch), DT)
     solve = build_fused_ilqr(params, limits, 1.0, num_horizon=6,
                              tile_rows=8, interpret=True)
-    us_p, xl_p, cost_p, dist_p = solve(x0, xts, obstacle_to_lanes(obs, batch))
+    us_p, xl_p, cost_p, dist_p = solve(x0, xts, jnp.zeros((6, 2, batch), DT),
+                                       obstacle_to_lanes(obs, batch))
     ref = ilqr_solve_soa(params, limits, obs, jnp.zeros(4, DT), xts,
                          jnp.zeros((6, 2, batch), DT), 1.0, 1.0,
                          num_horizon=6)
@@ -79,7 +80,8 @@ def test_pallas_argmin_matches_soa():
         10, 100, size=batch), DT)
     solve = build_fused_ilqr(params, limits, 1.0, num_horizon=6,
                              tile_rows=8, interpret=True)
-    _, _, _, dist_p = solve(x0, xts, obstacle_to_lanes(obs, batch))
+    _, _, _, dist_p = solve(x0, xts, jnp.zeros((6, 2, batch), DT),
+                            obstacle_to_lanes(obs, batch))
     ref = ilqr_solve_soa(params, limits, obs, jnp.zeros(4, DT), xts,
                          jnp.zeros((6, 2, batch), DT), 1.0, 1.0,
                          num_horizon=6)
