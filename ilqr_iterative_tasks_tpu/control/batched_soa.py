@@ -52,6 +52,39 @@ class SoaScenarios:
             noise_on=jnp.full((batch,), 1.0 if noise_on else 0.0, dtype),
         )
 
+    @classmethod
+    def randomized(cls, base_x0, goal, obstacle: Obstacle, batch: int, key,
+                   *, x0_jitter: float = 0.5, obs_pos_jitter: float = 4.0,
+                   obs_spd_jitter: float = 0.0, noise_on=True,
+                   dtype=jnp.float32):
+        """Per-lane randomized scenarios (BASELINE config 4): jittered
+        initial states and heterogeneous obstacle positions/speeds. Every
+        lane carries its own obstacle — the SoA sims and both Pallas kernels
+        take per-lane obstacle parameters, so this is retrace-free.
+
+        ``x0_jitter``: scalar or per-component (4,) scale. NOTE: i2LQR (the
+        reference algorithm, reproduced faithfully) is brittle to initial
+        HEADING/VELOCITY offsets: at sigma 0.5 on theta_0 ~18% of lanes
+        park at a stationary point by lap 3-4 (verified identical in the
+        host controller). Position-only jitter is robust (99%+)."""
+        base = cls.broadcast(base_x0, goal, obstacle, batch,
+                             noise_on=noise_on, dtype=dtype)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        scale = jnp.broadcast_to(
+            jnp.asarray(x0_jitter, dtype).reshape(-1, 1), (4, batch))
+        x0 = base.x0 + scale * jax.random.normal(k1, (4, batch), dtype)
+        obs = base.obstacle.replace(
+            x=base.obstacle.x
+            + obs_pos_jitter * jax.random.normal(k2, (batch,), dtype),
+            y=base.obstacle.y
+            + obs_pos_jitter * jax.random.normal(k3, (batch,), dtype),
+            spd=jnp.maximum(
+                base.obstacle.spd
+                + obs_spd_jitter * jax.random.normal(k4, (batch,), dtype),
+                0.0),
+        )
+        return base.replace(x0=x0, obstacle=obs)
+
 
 class SoaRunResult(NamedTuple):
     lap_steps: jnp.ndarray  # (num_laps, B)

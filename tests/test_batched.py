@@ -196,3 +196,29 @@ def test_soa_checkpoint_exact_resume(tmp_path):
     got = np.concatenate([steps_part, np.asarray(rest.lap_steps)], axis=0)
     np.testing.assert_array_equal(got, np.asarray(full.lap_steps))
     assert int(rest.lap_count) == 4  # seed + 3 learned laps
+
+
+@pytest.mark.slow
+def test_soa_randomized_scenarios_heterogeneous_obstacles():
+    """Per-lane randomized x0 + obstacle geometry (BASELINE config 4) runs in
+    one compiled program; mild jitter keeps every lane completing."""
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        SoaScenarios, simulate_learning_runs_soa)
+
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    # position-only jitter: the reference algorithm is brittle to even small
+    # heading/velocity offsets (see SoaScenarios.randomized docstring)
+    scs = SoaScenarios.randomized(np.zeros(4), xcl[-1], obstacle, 4,
+                                  jax.random.PRNGKey(3),
+                                  x0_jitter=(0.5, 0.5, 0.0, 0.0),
+                                  obs_pos_jitter=2.0, noise_on=False,
+                                  dtype=DT)
+    ox = np.asarray(scs.obstacle.x)
+    assert len(np.unique(ox)) == 4  # genuinely heterogeneous lanes
+    res = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                     121, 1.0, jax.random.PRNGKey(0),
+                                     num_laps=3, max_steps=128, max_laps=8,
+                                     solver_max_iter=40)
+    steps = np.asarray(res.lap_steps)
+    assert np.all(np.asarray(res.lap_done))
+    assert (steps[-1] <= 30).all()
