@@ -1,0 +1,82 @@
+"""Trailing-axis (SoA) scenario sharding over the virtual 8-device CPU mesh.
+
+The production batch-trailing sims must compile and run with their LAST axis
+sharded (parallel/sharded_soa.py) and produce the same results as the
+unsharded program (embarrassingly parallel — no cross-lane math)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ilqr_iterative_tasks_tpu.control.batched_soa import (
+    SoaScenarios, simulate_learning_runs_soa)
+from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
+    simulate_nlmpc_runs_soa)
+from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+from ilqr_iterative_tasks_tpu.parallel.mesh import make_mesh
+from ilqr_iterative_tasks_tpu.parallel.sharded_soa import (
+    shard_soa_scenarios, simulate_learning_runs_soa_sharded,
+    simulate_nlmpc_runs_soa_sharded)
+from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+from ilqr_iterative_tasks_tpu.utils.params import (IlqrParams, LmpcParams,
+                                                   SystemLimits)
+
+DT = jnp.float32
+
+
+def _setup(batch):
+    limits = SystemLimits.make(dtype=DT)
+    xcl, ucl = seed_trajectory(1.0)
+    seed_xs = jnp.zeros((128, 4), DT).at[:121].set(jnp.asarray(xcl, DT))
+    seed_us = jnp.zeros((128, 2), DT).at[:120].set(jnp.asarray(ucl, DT))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, batch,
+                                 noise_on=False, dtype=DT)
+    return limits, seed_xs, seed_us, scs
+
+
+def test_shard_placement():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    _, _, _, scs = _setup(16)
+    sharded = shard_soa_scenarios(scs, mesh)
+    # trailing axis split 8 ways: each device holds 2 lanes of x0
+    shard_shapes = {s.data.shape for s in sharded.x0.addressable_shards}
+    assert shard_shapes == {(4, 2)}
+
+
+@pytest.mark.slow
+def test_i2lqr_soa_sharded_matches_unsharded():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    limits, seed_xs, seed_us, scs = _setup(16)
+    params = IlqrParams.make(dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=40)
+    key = jax.random.PRNGKey(0)
+    ref = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                     121, 1.0, key, **kw)
+    sh = simulate_learning_runs_soa_sharded(params, limits, scs, seed_xs,
+                                            seed_us, 121, 1.0, key, mesh,
+                                            **kw)
+    np.testing.assert_array_equal(np.asarray(sh.lap_steps),
+                                  np.asarray(ref.lap_steps))
+
+
+@pytest.mark.slow
+def test_nlmpc_soa_sharded_matches_unsharded():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    limits, seed_xs, seed_us, scs = _setup(16)
+    params = LmpcParams.make(ss_option="spaceVarying")
+    kw = dict(num_laps=2, max_steps=128, max_laps=8)
+    key = jax.random.PRNGKey(0)
+    ref = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us, 121,
+                                  1.0, key, **kw)
+    sh = simulate_nlmpc_runs_soa_sharded(params, limits, scs, seed_xs,
+                                         seed_us, 121, 1.0, key, mesh, **kw)
+    np.testing.assert_array_equal(np.asarray(sh.lap_steps),
+                                  np.asarray(ref.lap_steps))
