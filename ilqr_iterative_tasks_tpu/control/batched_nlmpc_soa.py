@@ -127,7 +127,10 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                     + jnp.abs(st[:, 2] - guess[2][None])
                     + jnp.abs(st[:, 3] - guess[3][None]))  # (T, B)
             dist = jnp.where(valid[lap_id_c], dist, jnp.inf)
-            _, idx_bk = jax.lax.top_k(-dist.T, k)  # (B, K)
+            negd, idx_bk = jax.lax.top_k(-dist.T, k)  # (B, K)
+            # mask top_k padding when k exceeds the stored lap length (the
+            # padded rows gather zero states with Qfun 0 — see batched_soa)
+            cand_ok = jnp.isfinite(-negd.T)  # (K, B)
             x_terms = jnp.stack(
                 [_gather_cols(st[:, i], idx_bk) for i in range(4)])  # (4,K,B)
             q_terms = _gather_cols(qfun[lap_id_c], idx_bk)  # (K, B)
@@ -148,7 +151,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                     num_horizon=n, max_iters=max_lm_iters)
                 sol_us = sol.us
                 feasible = sol.feasible
-            cost = jnp.where(feasible & lap_ok,
+            cost = jnp.where(feasible & cand_ok & lap_ok,
                              float(n) + q_terms, jnp.inf)
             rows_cost.append(cost)
             rows_us.append(sol_us)  # (N, 2, K, B)

@@ -221,7 +221,13 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                         + jnp.abs(st[:, 2] - x_guess[2][None])
                         + jnp.abs(st[:, 3] - x_guess[3][None]))  # (T, B)
                 dist = jnp.where(valid[lap_id_c], dist, jnp.inf)
-                _, idx_bk = jax.lax.top_k(-dist.T, k)  # (B, K)
+                negd, idx_bk = jax.lax.top_k(-dist.T, k)  # (B, K)
+                # when k exceeds the stored lap length, top_k pads with
+                # invalid (inf-distance) rows whose gathered states are the
+                # zero padding (Qfun 0!) — mask them out of the sweep
+                # (the host path returns fewer candidates instead,
+                # base.py:332-341)
+                cand_ok = jnp.isfinite(-negd.T)  # (K, B)
                 x_terms = jnp.stack(
                     [_gather_cols(st[:, i], idx_bk) for i in range(4)])  # (4,K,B)
                 q_terms = _gather_cols(qfun[lap_id_c], idx_bk)  # (K, B)
@@ -253,7 +259,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                 i_rel = jnp.maximum(jnp.ceil(d / unit - 1e-12), 1.0)
                 cost = jnp.where(d <= unit * params.max_relax_iter,
                                  q_terms + float(n) + 100.0 * i_rel, jnp.inf)
-                cost = jnp.where(lap_ok, cost, jnp.inf)
+                cost = jnp.where(cand_ok & lap_ok, cost, jnp.inf)
                 rows_cost.append(cost)
                 rows_sol_us.append(sol_us)  # (N, 2, K, B)
                 rows_sol_xN.append(x_last)  # (4, K, B)

@@ -132,4 +132,9 @@ class DeviceSafeSet:
         d = jnp.sum(jnp.abs(states - x_guess[None, :]), axis=-1)
         d = jnp.where(self.valid[lap_id], d, jnp.inf)
         neg_top, idx = jax.lax.top_k(-d, k)
-        return idx, states[idx], self.qfun[lap_id][idx]
+        # when k exceeds the lap length, top_k pads with invalid rows whose
+        # gathered states are the zero padding; poison their Qfun so every
+        # downstream candidate cost becomes +inf (the host path returns
+        # fewer candidates instead, base.py:332-341)
+        q = jnp.where(jnp.isfinite(-neg_top), self.qfun[lap_id][idx], jnp.inf)
+        return idx, states[idx], q

@@ -222,3 +222,26 @@ def test_soa_randomized_scenarios_heterogeneous_obstacles():
     steps = np.asarray(res.lap_steps)
     assert np.all(np.asarray(res.lap_done))
     assert (steps[-1] <= 30).all()
+
+
+@pytest.mark.slow
+def test_soa_enlarged_safe_set_config3():
+    """BASELINE config 3 shape in the batch-native sim: num_ss_points=32,
+    num_ss_iter=4 (4-row lexicographic selection, k > lap length early on)."""
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        SoaScenarios, simulate_learning_runs_soa)
+
+    limits = SystemLimits.make(dtype=DT)
+    params = IlqrParams.make(num_ss_points=32, num_ss_iter=4, dtype=DT)
+    _, _, seed_xs, seed_us, xcl, obstacle = _setup()
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 2,
+                                 noise_on=False, dtype=DT)
+    res = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                     121, 1.0, jax.random.PRNGKey(0),
+                                     num_laps=3, max_steps=128, max_laps=8,
+                                     solver_max_iter=40)
+    steps = np.asarray(res.lap_steps)
+    assert np.all(np.asarray(res.lap_done))
+    # richer candidate sets accelerate early learning (host path: [~26, 23..])
+    assert steps[0, 0] <= 60 and steps[-1, 0] <= 26
+    assert (np.diff(steps[:, 0]) <= 0).all()
