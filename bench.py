@@ -38,7 +38,10 @@ def main():
     from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
 
     on_tpu = jax.default_backend() == "tpu"
-    batch = 32768 if on_tpu else 64
+    # B=65536 is the measured throughput peak (5791/s vs 5686 at 32768);
+    # B=131072 faults the v5e device (same class as the AoS large-batch
+    # fault) — do not raise further.
+    batch = 65536 if on_tpu else 64
     num_laps = 3
     dtype = jnp.float32
 
@@ -93,7 +96,8 @@ def main():
         simulate_nlmpc_runs_soa)
     from ilqr_iterative_tasks_tpu.utils.params import LmpcParams
 
-    n_batch = 16384 if on_tpu else 32
+    # NLMPC peaks at 32768 (39.9k/s vs 38.3k at 16384; 65536 dips to 39.4k)
+    n_batch = 32768 if on_tpu else 32
     n_params = LmpcParams.make(ss_option="spaceVarying")
     n_scen = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, n_batch,
                                     noise_on=True, dtype=dtype)

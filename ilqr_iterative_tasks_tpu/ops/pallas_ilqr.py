@@ -58,7 +58,8 @@ def obstacle_to_lanes(obstacle: Obstacle, batch: int) -> jnp.ndarray:
 
 def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
                      *, num_horizon: int, max_iter: int = 150,
-                     tile_rows: int = TILE_ROWS, interpret: bool = False):
+                     tile_rows: int = TILE_ROWS, interpret: bool = False,
+                     with_skip: bool = False):
     """Factory: returns fn(x0 (4,B), x_term (4,B), u_init (N,2,B), obs (6,B))
     -> (us (N,2,B), x_last (4,B), cost (B,), dist (B,)).
 
@@ -70,6 +71,15 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
     Measured on v5e: tile_rows=64 best at B~128k (3.4M solves/s), 128 best at
     B>=512k (5.1M solves/s); Mosaic compile ~10 min per (shape, max_iter),
     persistent-cached.
+
+    with_skip=True adds a 5th input ``skip`` (B,) f32 0/1: lanes with skip=1
+    start the LM loop already-done (they execute zero iterations; outputs are
+    the rollout of u_init — callers substitute cached results). Because the
+    per-tile lockstep loop exits when ALL lanes are done, callers should
+    compact skipped lanes to the batch tail so whole tiles exit at iteration
+    zero (the duplicate-candidate dedup in control/batched_soa.py does this).
+    Per-lane results are tile-membership invariant (done lanes freeze their
+    us/lamb), so compaction is bitwise-neutral for fresh lanes.
     """
     tile = tile_rows * 128
     n = num_horizon
@@ -115,8 +125,12 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
                 acc = acc + 2.0 * float(m[row, j]) * d[j]
         return acc
 
-    def kernel(x0_ref, xt_ref, ui_ref, obs_ref, us_ref, xl_ref, cost_ref,
-               dist_ref):
+    def kernel(x0_ref, xt_ref, ui_ref, obs_ref, *rest):
+        if with_skip:
+            skip_ref, us_ref, xl_ref, cost_ref, dist_ref = rest
+        else:
+            skip_ref = None
+            us_ref, xl_ref, cost_ref, dist_ref = rest
         shp = (tile_rows, 128)
         x0c = tuple(x0_ref[i].reshape(shp) for i in range(4))
         xt = tuple(xt_ref[i].reshape(shp) for i in range(4))
@@ -367,7 +381,9 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
         for i in range(n):
             ui.append(ui_ref[i, 0].reshape(shp))
             ui.append(ui_ref[i, 1].reshape(shp))
-        init = ((jnp.asarray(0), jnp.zeros(shp, jnp.float32),
+        done0 = (skip_ref[...].reshape(shp) if with_skip
+                 else jnp.zeros(shp, jnp.float32))
+        init = ((jnp.asarray(0), done0,
                  jnp.full(shp, lamb0, jnp.float32)) + tuple(ui))
         final = jax.lax.while_loop(cond, body, init)
         us = [clip_u(u) for u in unflatten_us(final[3:])]
@@ -384,23 +400,34 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
         dist_ref[...] = dist.reshape(tile)
 
     @jax.jit
-    def solve(x0, x_term, u_init, obs_lanes):
+    def solve(x0, x_term, u_init, obs_lanes, skip=None):
         b = x_term.shape[-1]
         assert b % tile == 0, f"batch {b} must be a multiple of {tile}"
         grid = (b // tile,)
+        in_specs = [
+            pl.BlockSpec((4, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 2, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [x0, x_term, u_init, obs_lanes]
+        if with_skip:
+            if skip is None:
+                skip = jnp.zeros((b,), jnp.float32)
+            in_specs.append(pl.BlockSpec((tile,), lambda i: (i,),
+                                         memory_space=pltpu.VMEM))
+            args.append(skip)
+        elif skip is not None:
+            raise ValueError("skip passed to a kernel built without "
+                             "with_skip=True")
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((4, tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, 2, tile), lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((6, tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((n, 2, tile), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
@@ -418,6 +445,6 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
                 jax.ShapeDtypeStruct((b,), jnp.float32),
             ],
             interpret=interpret,
-        )(x0, x_term, u_init, obs_lanes)
+        )(*args)
 
     return solve
