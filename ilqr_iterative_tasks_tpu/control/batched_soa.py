@@ -131,7 +131,8 @@ def _lex_argmin_rows(cost_rows):
 
 @partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
                                    "goal_append", "sim_step_budget",
-                                   "solver_max_iter", "pallas_solver"))
+                                   "solver_max_iter", "pallas_solver",
+                                   "dedup_passes"))
 def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                scenarios: SoaScenarios, seed_xs, seed_us,
                                seed_len, dt, key, *, num_laps: int,
@@ -140,6 +141,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                sim_step_budget: int = 121,
                                solver_max_iter: int | None = None,
                                pallas_solver=None,
+                               dedup_passes: bool = False,
                                resume_from=None) -> SoaRunResult:
     """Seed + ``num_laps`` learning laps for B scenarios, batch-trailing.
 
@@ -155,7 +157,27 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
     previous result — the run continues with the stored safe set (the seed
     args are ignored) and runs ``num_laps`` FURTHER laps; exact resume
     requires passing the checkpointed key (utils.checkpoint.save_soa_run).
+    (``dedup_passes`` requires a pallas_solver.)
+
+    ``dedup_passes``: skip candidate solves in relaxation passes 2/3 that are
+    exact duplicates of a pass-1/2 solve (same safe-set index for the same
+    scenario ⇒ same x0/x_term/u_init/lamb ⇒ bitwise-identical pure solve) by
+    substituting the cached result. Duplicate lanes are compacted to the
+    batch tail and enter the fused kernel pre-done, so whole tiles exit at
+    iteration zero. Bitwise-neutral by construction (validated in
+    tests/test_batched.py). Requires ``pallas_solver`` built with
+    ``with_skip=True``.
+
+    MEASURED NEGATIVE on v5e at the headline config (k=8, nsi=1): 3.2k
+    lap-sims/s at B=16384 vs ~5.6k without — the per-pass cache gathers and
+    lane compaction on batch-trailing tensors cost more than the whole-tile
+    early exits save, and B=65536 hit a device fault. Keep OFF for the
+    headline; revisit for enlarged-candidate configs (k=32, nsi=4) where the
+    duplicate mass per pass is much larger.
     """
+    if dedup_passes and pallas_solver is None:
+        raise ValueError("dedup_passes requires a pallas_solver "
+                         "(built with with_skip=True)")
     n = params.num_horizon
     k = params.num_ss_points
     nsi = params.num_ss_iter
@@ -206,11 +228,12 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
         states, qfun, valid, lap_len = ss
         zeros_ws = jnp.zeros((n, 2, b), dtype)
 
-        def one_pass(outer: int, x_guess):
+        def one_pass(outer: int, x_guess, cache=None):
             u_ws = zeros_ws
             rows_cost, rows_sol_us, rows_sol_xN, rows_idx, rows_lap = \
                 [], [], [], [], []
             row_ok = []
+            new_cache = []
             for off in range(nsi):
                 lap_id = lap_count - nsi + off
                 lap_ok = lap_id >= 0
@@ -240,12 +263,71 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                     obs_l = obstacle_to_lanes(obstacle, b)  # (6, B)
                     obs_kb = jnp.broadcast_to(
                         obs_l[:, None, :], (6, k, b)).reshape(6, k * b)
-                    us_f, xl_f, cost_f, d_f = pallas_solver(
-                        x0b.reshape(4, k * b), x_terms.reshape(4, k * b),
-                        u_init_kb.reshape(n, 2, k * b), obs_kb)
-                    sol_us = us_f.reshape(n, 2, k, b)
-                    x_last = xl_f.reshape(4, k, b)
-                    d = d_f.reshape(k, b)
+                    idx_kb = idx_bk.T.astype(jnp.int32)  # (K, B)
+                    if dedup_passes and cache is not None:
+                        # Cross-pass dedup: a candidate re-selected from the
+                        # same safe-set slot is the SAME pure solve (x0,
+                        # u_init=zeros, lamb, obstacle are pass-invariant
+                        # within a control step) — reuse the cached result.
+                        ent = cache[off]
+                        match = ((idx_kb[:, None, :] == ent["idx"][None])
+                                 & ent["ok"][None])  # (K, C, B)
+                        found = jnp.any(match, axis=1)  # (K, B)
+                        src = jnp.argmax(match, axis=1)  # (K, B)
+                        us_cached = jnp.take_along_axis(
+                            ent["us"], src[None, None], axis=2)
+                        xl_cached = jnp.take_along_axis(
+                            ent["xl"], src[None], axis=1)
+                        d_cached = jnp.take_along_axis(ent["d"], src, axis=0)
+                        # Compact duplicates to the tail so whole kernel
+                        # tiles start all-done and exit at iteration zero.
+                        skip_flat = found.reshape(k * b)
+                        cum_fresh = jnp.cumsum((~skip_flat).astype(jnp.int32))
+                        num_fresh = cum_fresh[-1]
+                        pos = jnp.where(
+                            ~skip_flat, cum_fresh - 1,
+                            num_fresh
+                            + jnp.cumsum(skip_flat.astype(jnp.int32)) - 1)
+                        inv = jnp.zeros((k * b,), jnp.int32).at[pos].set(
+                            jnp.arange(k * b, dtype=jnp.int32))
+                        us_f, xl_f, cost_f, d_f = pallas_solver(
+                            x0b.reshape(4, k * b)[:, inv],
+                            x_terms.reshape(4, k * b)[:, inv],
+                            u_init_kb.reshape(n, 2, k * b)[:, :, inv],
+                            obs_kb[:, inv],
+                            skip_flat[inv].astype(jnp.float32))
+                        us_f = us_f[:, :, pos]
+                        xl_f = xl_f[:, pos]
+                        d_f = d_f[pos]
+                        sol_us = jnp.where(found[None, None], us_cached,
+                                           us_f.reshape(n, 2, k, b))
+                        x_last = jnp.where(found[None], xl_cached,
+                                           xl_f.reshape(4, k, b))
+                        d = jnp.where(found, d_cached, d_f.reshape(k, b))
+                    else:
+                        us_f, xl_f, cost_f, d_f = pallas_solver(
+                            x0b.reshape(4, k * b), x_terms.reshape(4, k * b),
+                            u_init_kb.reshape(n, 2, k * b), obs_kb)
+                        sol_us = us_f.reshape(n, 2, k, b)
+                        x_last = xl_f.reshape(4, k, b)
+                        d = d_f.reshape(k, b)
+                    if dedup_passes:
+                        ent_new = dict(idx=idx_kb, ok=cand_ok & lap_ok,
+                                       us=sol_us, xl=x_last, d=d)
+                        if cache is not None:
+                            prev = cache[off]
+                            ent_new = dict(
+                                idx=jnp.concatenate(
+                                    [prev["idx"], ent_new["idx"]], axis=0),
+                                ok=jnp.concatenate(
+                                    [prev["ok"], ent_new["ok"]], axis=0),
+                                us=jnp.concatenate(
+                                    [prev["us"], ent_new["us"]], axis=2),
+                                xl=jnp.concatenate(
+                                    [prev["xl"], ent_new["xl"]], axis=1),
+                                d=jnp.concatenate(
+                                    [prev["d"], ent_new["d"]], axis=0))
+                        new_cache.append(ent_new)
                 else:
                     sol = ilqr_solve_soa(
                         params, limits, obstacle, x0b, x_terms,
@@ -289,12 +371,14 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             lap_sel = jnp.take_along_axis(
                 jnp.stack(rows_lap), best_row[None, :].astype(jnp.int32),
                 axis=0)[0]  # (B,)
-            return xl_sel, us_sel, idx_sel, lap_sel
+            return xl_sel, us_sel, idx_sel, lap_sel, new_cache
 
         xg = tuple(x[i] for i in range(4))
-        xl_p, us_p, idx_c, lap_c = one_pass(0, xg)
-        xl_p, us_p, idx_c, lap_c = one_pass(1, tuple(xl_p[i] for i in range(4)))
-        xl_p, us_p, idx_c, lap_c = one_pass(2, tuple(xl_p[i] for i in range(4)))
+        xl_p, us_p, idx_c, lap_c, cch = one_pass(0, xg)
+        xl_p, us_p, idx_c, lap_c, cch = one_pass(
+            1, tuple(xl_p[i] for i in range(4)), cch if dedup_passes else None)
+        xl_p, us_p, idx_c, lap_c, _ = one_pass(
+            2, tuple(xl_p[i] for i in range(4)), cch if dedup_passes else None)
         chosen_len = jnp.take_along_axis(lap_len, lap_c[None, :], axis=0)[0]
         shrink = (idx_c + 1) > (chosen_len - 1)
         u = us_p[0]  # (2, B)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 
 def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
-        tile_rows: int = 128, noise_on: bool = True):
+        tile_rows: int = 128, noise_on: bool = True, dedup: bool = False):
     from ilqr_iterative_tasks_tpu.control.batched_soa import (
         SoaScenarios, simulate_learning_runs_soa)
     from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
@@ -49,7 +49,8 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
     if on_tpu:
         kw["pallas_solver"] = build_fused_ilqr(
             params, limits, 1.0, num_horizon=params.num_horizon,
-            max_iter=solver_max_iter, tile_rows=tile_rows)
+            max_iter=solver_max_iter, tile_rows=tile_rows, with_skip=dedup)
+        kw["dedup_passes"] = dedup
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     out = simulate_learning_runs_soa(params, limits, scenarios, seed_xs,
@@ -69,6 +70,7 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
                                     axis=-1)]
     print(json.dumps({
         "batch": batch, "tile_rows": tile_rows, "cap": solver_max_iter,
+        "dedup": dedup,
         "lap_sims_per_s": round(rate, 1),
         "seconds": round(dt_s, 2), "compile_s": round(compile_s, 1),
         "completion": round(done, 4),
@@ -134,7 +136,8 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     nlmpc = "--nlmpc" in argv
     pallas = "--pallas" in argv
-    argv = [a for a in argv if a not in ("--nlmpc", "--pallas")]
+    dedup = "--dedup" in argv
+    argv = [a for a in argv if a not in ("--nlmpc", "--pallas", "--dedup")]
     for arg in argv or (["8192"] if nlmpc else ["65536"]):
         if nlmpc:
             if ":" in arg:
@@ -147,6 +150,7 @@ if __name__ == "__main__":
         elif ":" in arg:
             parts = arg.split(":")
             run(int(parts[0]), tile_rows=int(parts[1]),
-                solver_max_iter=int(parts[2]) if len(parts) > 2 else 40)
+                solver_max_iter=int(parts[2]) if len(parts) > 2 else 40,
+                dedup=dedup)
         else:
-            run(int(arg))
+            run(int(arg), dedup=dedup)

@@ -245,3 +245,41 @@ def test_soa_enlarged_safe_set_config3():
     # richer candidate sets accelerate early learning (host path: [~26, 23..])
     assert steps[0, 0] <= 60 and steps[-1, 0] <= 26
     assert (np.diff(steps[:, 0]) <= 0).all()
+
+
+@pytest.mark.slow
+def test_dedup_passes_bitwise_neutral():
+    """Cross-pass candidate dedup (skip + compaction into the fused kernel)
+    must be BITWISE neutral: a skipped lane's cached result is the same pure
+    solve, and fresh lanes' results are tile-membership invariant (done lanes
+    freeze their us/lamb in the lockstep loop)."""
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        SoaScenarios, simulate_learning_runs_soa)
+    from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import build_fused_ilqr
+
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    b = 16  # k*b = 128 = one tile_rows=1 tile
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=3, max_steps=128, max_laps=8, solver_max_iter=12)
+    key = jax.random.PRNGKey(3)
+    base_solver = build_fused_ilqr(params, limits, 1.0, num_horizon=6,
+                                   max_iter=12, tile_rows=1, interpret=True)
+    base = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                      121, 1.0, key, pallas_solver=base_solver,
+                                      **kw)
+    skip_solver = build_fused_ilqr(params, limits, 1.0, num_horizon=6,
+                                   max_iter=12, tile_rows=1, interpret=True,
+                                   with_skip=True)
+    dedup = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                       121, 1.0, key,
+                                       pallas_solver=skip_solver,
+                                       dedup_passes=True, **kw)
+    np.testing.assert_array_equal(np.asarray(base.lap_steps),
+                                  np.asarray(dedup.lap_steps))
+    np.testing.assert_array_equal(np.asarray(base.lap_done),
+                                  np.asarray(dedup.lap_done))
+    np.testing.assert_array_equal(np.asarray(base.final_x),
+                                  np.asarray(dedup.final_x))
+    for a, c in zip(base.safe_set, dedup.safe_set):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
