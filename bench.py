@@ -68,9 +68,13 @@ def main():
         from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import build_fused_ilqr
         k = params.num_ss_points
         if (k * batch) % (64 * 128) == 0:
+            # with_skip: the simulator compacts finished/replay lanes to the
+            # batch tail each step and whole inactive tiles exit at iteration
+            # zero — straggler lanes no longer drag the full batch through the
+            # 121-step budget at full solver cost (~2.5-3x measured).
             kw["pallas_solver"] = build_fused_ilqr(
                 params, limits, 1.0, num_horizon=params.num_horizon,
-                max_iter=16, tile_rows=64)
+                max_iter=16, tile_rows=64, with_skip=True)
             solver_backend = "pallas"
 
     def run(seed):
@@ -110,7 +114,7 @@ def main():
             build_fused_lm_shooting)
         n_kw["pallas_solver"] = build_fused_lm_shooting(
             limits, 1.0, num_horizon=n_params.num_horizon, max_iters=12,
-            tile_rows=64)
+            tile_rows=64, with_skip=True)
 
     def run_nlmpc(seed):
         res = simulate_nlmpc_runs_soa(

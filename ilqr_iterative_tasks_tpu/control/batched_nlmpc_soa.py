@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ilqr_iterative_tasks_tpu.control.batched_soa import (
-    SoaScenarios, _gather_cols, _lex_argmin_rows)
+    SoaScenarios, _lex_argmin_rows, _topk_select)
 from ilqr_iterative_tasks_tpu.ops.ilqr_soa import step_soa
 from ilqr_iterative_tasks_tpu.ops.lm_shooting_soa import (
     lm_feasibility_solve_soa)
@@ -108,15 +108,43 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         ss0, lap0, key = resume_from
         lap0 = jnp.asarray(lap0, jnp.int32)
 
-    def solve_step(ss, lap_count, x, guess, u_warm, obstacle):
+    use_skip = (pallas_solver is not None
+                and getattr(pallas_solver, "with_skip", False))
+
+    def solve_step(ss, lap_count, x, guess, u_warm, obstacle, inactive=None):
         """One NLMPC calc_input for all B lanes.
 
         x, guess: (4, B); u_warm: (N, 2, B). Returns
-        (u (2, B), feasible_any (B,), new_guess (4, B), u_warm_new)."""
+        (u (2, B), feasible_any (B,), new_guess (4, B), u_warm_new).
+
+        ``inactive``: (B,) bool — finished lanes whose result the caller
+        discards. With a ``with_skip`` fused kernel, actives are stably
+        compacted to the batch front and inactive lanes enter the kernel
+        pre-done, so whole tiles past the active count exit at iteration
+        zero (bitwise-neutral for active lanes — see batched_soa.solve_step).
+        """
         states, inputs, qfun, valid, lap_len = ss
         rows_cost, rows_us, rows_idx, rows_lap = [], [], [], []
         x0b = jnp.broadcast_to(x[:, None, :], (4, k, b))
         u_warm_kb = jnp.broadcast_to(u_warm[:, :, None, :], (n, 2, k, b))
+        if use_skip and inactive is not None:
+            act_i = (~inactive).astype(jnp.int32)
+            c_act = jnp.cumsum(act_i)
+            n_act = c_act[-1]
+            lane_dst = jnp.where(~inactive, c_act - 1,
+                                 n_act + jnp.cumsum(1 - act_i) - 1)  # (B,)
+            lane_src = jnp.zeros((b,), jnp.int32).at[lane_dst].set(
+                jnp.arange(b, dtype=jnp.int32))
+            skip_sorted = (jnp.arange(b) >= n_act).astype(jnp.float32)
+            skip_kb = jnp.broadcast_to(skip_sorted[None, :],
+                                       (k, b)).reshape(k * b)
+            x0b_p = jnp.broadcast_to(
+                jnp.take(x, lane_src, axis=-1)[:, None, :], (4, k, b))
+            u_warm_p = jnp.broadcast_to(
+                jnp.take(u_warm, lane_src, axis=-1)[:, :, None, :],
+                (n, 2, k, b))
+        else:
+            lane_dst = lane_src = None
         for off in range(nsi):
             lap_id = lap_count - nsi + off
             lap_ok = lap_id >= 0
@@ -127,24 +155,38 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                     + jnp.abs(st[:, 2] - guess[2][None])
                     + jnp.abs(st[:, 3] - guess[3][None]))  # (T, B)
             dist = jnp.where(valid[lap_id_c], dist, jnp.inf)
-            negd, idx_bk = jax.lax.top_k(-dist.T, k)  # (B, K)
-            # mask top_k padding when k exceeds the stored lap length (the
-            # padded rows gather zero states with Qfun 0 — see batched_soa)
-            cand_ok = jnp.isfinite(-negd.T)  # (K, B)
-            x_terms = jnp.stack(
-                [_gather_cols(st[:, i], idx_bk) for i in range(4)])  # (4,K,B)
-            q_terms = _gather_cols(qfun[lap_id_c], idx_bk)  # (K, B)
+            # kNN + candidate extraction in one gather-free sweep (element
+            # gathers run on the TPU scalar core — see batched_soa); overflow
+            # candidates when k exceeds the stored lap length carry dval=inf
+            idx_kb_sel, dval, (x0s, x1s, x2s, x3s, q_terms) = _topk_select(
+                dist, k, [st[:, 0], st[:, 1], st[:, 2], st[:, 3],
+                          qfun[lap_id_c]])
+            cand_ok = jnp.isfinite(dval)  # (K, B)
+            x_terms = jnp.stack([x0s, x1s, x2s, x3s])  # (4, K, B)
             if pallas_solver is not None:
                 from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
                     obstacle_to_lanes_nlmpc)
                 obs_l = obstacle_to_lanes_nlmpc(obstacle, b)  # (7, B)
-                obs_kb = jnp.broadcast_to(
-                    obs_l[:, None, :], (7, k, b)).reshape(7, k * b)
-                us_f, _xl, _te, fe_f = pallas_solver(
-                    x0b.reshape(4, k * b), x_terms.reshape(4, k * b),
-                    u_warm_kb.reshape(n, 2, k * b), obs_kb)
-                sol_us = us_f.reshape(n, 2, k, b)
-                feasible = fe_f.reshape(k, b) > 0.5
+                if lane_src is not None:
+                    xt_p = jnp.take(x_terms, lane_src, axis=-1)
+                    obs_p = jnp.take(obs_l, lane_src, axis=-1)
+                    obs_kb_p = jnp.broadcast_to(
+                        obs_p[:, None, :], (7, k, b)).reshape(7, k * b)
+                    us_f, _xl, _te, fe_f = pallas_solver(
+                        x0b_p.reshape(4, k * b), xt_p.reshape(4, k * b),
+                        u_warm_p.reshape(n, 2, k * b), obs_kb_p, skip_kb)
+                    sol_us = jnp.take(us_f.reshape(n, 2, k, b), lane_dst,
+                                      axis=-1)
+                    feasible = jnp.take(fe_f.reshape(k, b), lane_dst,
+                                        axis=-1) > 0.5
+                else:
+                    obs_kb = jnp.broadcast_to(
+                        obs_l[:, None, :], (7, k, b)).reshape(7, k * b)
+                    us_f, _xl, _te, fe_f = pallas_solver(
+                        x0b.reshape(4, k * b), x_terms.reshape(4, k * b),
+                        u_warm_kb.reshape(n, 2, k * b), obs_kb)
+                    sol_us = us_f.reshape(n, 2, k, b)
+                    feasible = fe_f.reshape(k, b) > 0.5
             else:
                 sol = lm_feasibility_solve_soa(
                     limits, obstacle, x0b, x_terms, u_warm_kb, dt,
@@ -155,7 +197,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                              float(n) + q_terms, jnp.inf)
             rows_cost.append(cost)
             rows_us.append(sol_us)  # (N, 2, K, B)
-            rows_idx.append(idx_bk.T)  # (K, B)
+            rows_idx.append(idx_kb_sel)  # (K, B)
             rows_lap.append(jnp.full((b,), lap_id_c, jnp.int32))
         cost_rows = jnp.stack(rows_cost)  # (L, K, B)
         best_row = _lex_argmin_rows(cost_rows)  # (B,)
@@ -200,7 +242,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             (x, t, done, obstacle, guess, u_warm, u_prev, xs_rec, us_rec,
              key) = c
             u_solve, feas, guess_new, u_warm_new = solve_step(
-                ss, lap_count, x, guess, u_warm, obstacle)
+                ss, lap_count, x, guess, u_warm, obstacle, inactive=done)
             u = jnp.where(feas[None, :], u_solve, u_prev)
             x_next = jnp.stack(step_soa(tuple(x[i] for i in range(4)),
                                         (u[0], u[1]), dt))
@@ -220,12 +262,15 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             guess_next = jnp.where(done[None, :], guess, guess_new)
             u_warm_next = jnp.where(done[None, None, :], u_warm, u_warm_new)
             u_prev_next = jnp.where(done[None, :], u_prev, u)
-            # per-lane scatter of the records at the active step
-            u_onehot = (t_idx[:, None] == t[None, :]) & (~done)[None, :]
-            us_rec = jnp.where(u_onehot[:, None, :], u[None, :, :], us_rec)
-            x_onehot = (t_idx[:, None] == t_next[None, :]) & (~done)[None, :]
-            xs_rec = jnp.where(x_onehot[:, None, :], x_next[None, :, :],
-                               xs_rec)
+            # per-lane scatter of the records at the active step (beats the
+            # previous (T, ·, B) onehot-where by ~T/1 in HBM traffic). Done
+            # lanes: row t of us_rec was never written (stays 0) so the value
+            # is masked to 0; row t_next(=t) of xs_rec already holds the
+            # frozen x, so the rewrite is a no-op.
+            lane = jnp.arange(b)
+            us_rec = us_rec.at[t, :, lane].set(
+                jnp.where(done[None, :], 0.0, u).T)
+            xs_rec = xs_rec.at[t_next, :, lane].set(x_next.T)
             reach = jnp.sqrt(sum((x_next[i] - scenarios.goal[i]) ** 2
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)

@@ -97,10 +97,40 @@ class SoaRunResult(NamedTuple):
     final_key: jnp.ndarray = None
 
 
-def _gather_cols(arr_tb, idx_bk):
-    """arr_tb: (T, B), idx_bk: (B, K) -> (K, B) gathered along T per lane."""
-    out = jnp.take_along_axis(arr_tb.T, idx_bk, axis=1)  # (B, K)
-    return out.T
+def _topk_select(dist, k, arrs):
+    """k smallest-distance rows per lane + row extraction, gather-free.
+
+    dist: (T, B) with +inf on invalid rows; arrs: list of (T, B) arrays to
+    read at the selected rows. Returns (idx (K, B) i32, dval (K, B),
+    [sel (K, B) per arr]).
+
+    Matches ``lax.top_k(-dist.T, k)`` ordering exactly for selectable rows:
+    ascending distance, ties broken toward the lower row index (argmin is
+    first-min). Once every remaining row is +inf (k exceeds the valid count)
+    argmin repeats row 0 where top_k would emit distinct padded indices —
+    callers mask those candidates via ``isfinite(dval)`` in both schemes, so
+    closed-loop behavior is identical.
+
+    WHY: XLA lowers take_along_axis/top_k on these shapes to per-ELEMENT
+    gathers on the TPU scalar core (~10 ns/element — the fifteen (8, B)
+    gathers were 1.34 ms EACH at B=16k, ~85% of a control step). The
+    argmin + one-hot mask-reduce forms below stay on the VPU with the batch
+    riding the lane dimension. (Selection-by-sum flips a stored -0.0 to
+    +0.0; nothing downstream is sign-of-zero sensitive.)
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+    d = dist
+    idxs, dvals, sels = [], [], [[] for _ in arrs]
+    for _ in range(k):
+        j = jnp.argmin(d, axis=0).astype(jnp.int32)  # (B,) first-min
+        m = rows == j[None, :]
+        dvals.append(jnp.min(d, axis=0))
+        idxs.append(j)
+        for a_i, a in enumerate(arrs):
+            sels[a_i].append(jnp.sum(jnp.where(m, a, 0.0), axis=0))
+        d = jnp.where(m, jnp.inf, d)
+    return (jnp.stack(idxs), jnp.stack(dvals),
+            [jnp.stack(s) for s in sels])
 
 
 def _lex_argmin_rows(cost_rows):
@@ -215,10 +245,24 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
         ss0, lap0, key = resume_from
         lap0 = jnp.asarray(lap0, jnp.int32)
 
-    def solve_step(ss, lap_count, x, obstacle):
+    use_skip = (pallas_solver is not None and not dedup_passes
+                and getattr(pallas_solver, "with_skip", False))
+
+    def solve_step(ss, lap_count, x, obstacle, inactive=None):
         """One i2LQR calc_input for all B lanes.
 
         x: (4, B). Returns u (2, B), u_old (N, 2, B), shrink (B,).
+
+        ``inactive``: (B,) bool — lanes whose solve result the caller will
+        discard (finished-lap and replay-mode lanes). When the fused kernel
+        was built ``with_skip=True``, active lanes are stably compacted to the
+        batch front and inactive lanes enter the kernel pre-done, so whole
+        tiles past the active count exit at iteration zero. Bitwise-neutral
+        for active lanes (per-lane results are tile-membership invariant);
+        inactive-lane outputs are the u_init rollout, discarded by the
+        caller's masking. Measured ~2.9x on the learning run at B=16k
+        (stragglers drag every lap to the 121-step budget; late steps are
+        >99% done lanes).
 
         NOTE: candidate solves are zeros-initialized per candidate, as in the
         reference (base.py:405). Warm-starting from the carried plan was
@@ -227,6 +271,23 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
         """
         states, qfun, valid, lap_len = ss
         zeros_ws = jnp.zeros((n, 2, b), dtype)
+        if use_skip and inactive is not None:
+            # stable partition: actives first. pos = destination of lane i;
+            # perm = source of destination j (two cumsums + one scatter —
+            # cheaper than argsort on TPU).
+            act_i = (~inactive).astype(jnp.int32)
+            c_act = jnp.cumsum(act_i)
+            n_act = c_act[-1]
+            lane_dst = jnp.where(~inactive, c_act - 1,
+                                 n_act + jnp.cumsum(1 - act_i) - 1)  # (B,)
+            lane_src = jnp.zeros((b,), jnp.int32).at[lane_dst].set(
+                jnp.arange(b, dtype=jnp.int32))
+            skip_sorted = (jnp.arange(b) >= n_act).astype(jnp.float32)
+            skip_kb = jnp.broadcast_to(skip_sorted[None, :],
+                                       (k, b)).reshape(k * b)
+            x_perm = jnp.take(x, lane_src, axis=-1)
+        else:
+            lane_dst = lane_src = skip_kb = x_perm = None
 
         def one_pass(outer: int, x_guess, cache=None):
             u_ws = zeros_ws
@@ -244,16 +305,15 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                         + jnp.abs(st[:, 2] - x_guess[2][None])
                         + jnp.abs(st[:, 3] - x_guess[3][None]))  # (T, B)
                 dist = jnp.where(valid[lap_id_c], dist, jnp.inf)
-                negd, idx_bk = jax.lax.top_k(-dist.T, k)  # (B, K)
-                # when k exceeds the stored lap length, top_k pads with
-                # invalid (inf-distance) rows whose gathered states are the
-                # zero padding (Qfun 0!) — mask them out of the sweep
-                # (the host path returns fewer candidates instead,
-                # base.py:332-341)
-                cand_ok = jnp.isfinite(-negd.T)  # (K, B)
-                x_terms = jnp.stack(
-                    [_gather_cols(st[:, i], idx_bk) for i in range(4)])  # (4,K,B)
-                q_terms = _gather_cols(qfun[lap_id_c], idx_bk)  # (K, B)
+                # kNN + candidate extraction in one gather-free sweep; when
+                # k exceeds the stored lap length the overflow candidates
+                # carry dval=inf and are masked out of the sweep (the host
+                # path returns fewer candidates instead, base.py:332-341)
+                idx_kb_sel, dval, (x0s, x1s, x2s, x3s, q_terms) = \
+                    _topk_select(dist, k, [st[:, 0], st[:, 1], st[:, 2],
+                                           st[:, 3], qfun[lap_id_c]])
+                cand_ok = jnp.isfinite(dval)  # (K, B)
+                x_terms = jnp.stack([x0s, x1s, x2s, x3s])  # (4, K, B)
                 x0b = jnp.broadcast_to(x[:, None, :], (4, k, b))
                 u_init_kb = jnp.broadcast_to(u_ws[:, :, None, :],
                                              (n, 2, k, b))
@@ -263,7 +323,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                     obs_l = obstacle_to_lanes(obstacle, b)  # (6, B)
                     obs_kb = jnp.broadcast_to(
                         obs_l[:, None, :], (6, k, b)).reshape(6, k * b)
-                    idx_kb = idx_bk.T.astype(jnp.int32)  # (K, B)
+                    idx_kb = idx_kb_sel  # (K, B) int32
                     if dedup_passes and cache is not None:
                         # Cross-pass dedup: a candidate re-selected from the
                         # same safe-set slot is the SAME pure solve (x0,
@@ -304,6 +364,24 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                         x_last = jnp.where(found[None], xl_cached,
                                            xl_f.reshape(4, k, b))
                         d = jnp.where(found, d_cached, d_f.reshape(k, b))
+                    elif lane_src is not None:
+                        # inactive-lane compaction (see solve_step docstring):
+                        # u_init is zeros (permutation-invariant), x0/obs/
+                        # x_terms gathered by lane_src, outputs gathered back
+                        # by lane_dst (A[:, i] == P[:, lane_dst[i]]).
+                        x0b_p = jnp.broadcast_to(x_perm[:, None, :], (4, k, b))
+                        xt_p = jnp.take(x_terms, lane_src, axis=-1)
+                        obs_p = jnp.take(obs_l, lane_src, axis=-1)
+                        obs_kb_p = jnp.broadcast_to(
+                            obs_p[:, None, :], (6, k, b)).reshape(6, k * b)
+                        us_f, xl_f, cost_f, d_f = pallas_solver(
+                            x0b_p.reshape(4, k * b), xt_p.reshape(4, k * b),
+                            u_init_kb.reshape(n, 2, k * b), obs_kb_p, skip_kb)
+                        sol_us = jnp.take(us_f.reshape(n, 2, k, b), lane_dst,
+                                          axis=-1)
+                        x_last = jnp.take(xl_f.reshape(4, k, b), lane_dst,
+                                          axis=-1)
+                        d = jnp.take(d_f.reshape(k, b), lane_dst, axis=-1)
                     else:
                         us_f, xl_f, cost_f, d_f = pallas_solver(
                             x0b.reshape(4, k * b), x_terms.reshape(4, k * b),
@@ -345,7 +423,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                 rows_cost.append(cost)
                 rows_sol_us.append(sol_us)  # (N, 2, K, B)
                 rows_sol_xN.append(x_last)  # (4, K, B)
-                rows_idx.append(idx_bk.T)  # (K, B)
+                rows_idx.append(idx_kb_sel)  # (K, B)
                 rows_lap.append(jnp.full((b,), lap_id_c, jnp.int32))
                 row_ok.append(lap_ok)
             cost_rows = jnp.stack(rows_cost)  # (L, K, B)
@@ -395,7 +473,8 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
              key) = c
             in_replay = horizon_left < n  # (B,)
             u_solve, u_old_new, shrink = solve_step(ss, lap_count, x,
-                                                    obstacle)
+                                                    obstacle,
+                                                    inactive=done | in_replay)
             # replay branch: stored input at replay_pos per lane
             p = jnp.clip(replay_pos, 0, n - 1)
             u_replay = jnp.take_along_axis(
@@ -425,9 +504,11 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             horizon_next = jnp.where(done, horizon_left, horizon_next)
             replay_next = jnp.where(done, replay_pos, replay_next)
             u_old_next = jnp.where(done[None, None, :], u_old, u_old_next)
-            # per-lane scatter: row t_next of each active lane <- x_next
-            onehot = (t_idx[:, None] == t_next[None, :]) & (~done)[None, :]
-            xs_rec = jnp.where(onehot[:, None, :], x_next[None, :, :], xs_rec)
+            # per-lane scatter: row t_next of each lane <- x_next. For done
+            # lanes this rewrites row t (frozen) with the frozen x — a no-op,
+            # so no mask is needed; a true scatter beats the previous
+            # (T, 4, B) onehot-where by ~T/1 in HBM traffic.
+            xs_rec = xs_rec.at[t_next, :, jnp.arange(b)].set(x_next.T)
             reach = jnp.sqrt(sum((x_next[i] - scenarios.goal[i]) ** 2
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)

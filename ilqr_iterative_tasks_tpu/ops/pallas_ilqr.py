@@ -399,7 +399,6 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
         cost_ref[...] = cost.reshape(tile)
         dist_ref[...] = dist.reshape(tile)
 
-    @jax.jit
     def solve(x0, x_term, u_init, obs_lanes, skip=None):
         b = x_term.shape[-1]
         assert b % tile == 0, f"batch {b} must be a multiple of {tile}"
@@ -447,4 +446,13 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
             interpret=interpret,
         )(*args)
 
-    return solve
+    solve_jit = jax.jit(solve)
+
+    def solve_api(x0, x_term, u_init, obs_lanes, skip=None):
+        return solve_jit(x0, x_term, u_init, obs_lanes, skip)
+
+    # callers (control/batched_soa.py) probe this to know the kernel accepts
+    # a skip mask — enables inactive-lane compaction without a new parameter
+    solve_api.with_skip = with_skip
+    solve_api.tile = tile
+    return solve_api

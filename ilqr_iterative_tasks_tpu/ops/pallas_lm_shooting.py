@@ -61,11 +61,20 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
                             g_margin: float = 1e-3, term_tol: float = 1e-4,
                             viol_tol: float = 1e-4,
                             tile_rows: int = TILE_ROWS,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            with_skip: bool = False):
     """Factory: returns fn(x0 (4,B), x_term (4,B), u_warm (N,2,B), obs (7,B))
     -> (us (N,2,B), x_last (4,B), term_err (B,), feasible (B,) f32).
 
     B must be a multiple of tile_rows*128 (pad the candidate batch).
+
+    with_skip=True adds a 5th input ``skip`` (B,) f32 0/1: lanes with skip=1
+    execute zero LM iterations in BOTH multi-starts (outputs are the clipped
+    warm-start rollout — callers discard them). The per-tile lockstep loop
+    exits when all lanes are done, so callers should compact skipped lanes
+    to the batch tail (control/batched_nlmpc_soa.py does). Per-lane results
+    are tile-membership invariant (done lanes freeze their u/lam), so the
+    compaction is bitwise-neutral for fresh lanes.
     """
     n = num_horizon
     if n < 2:
@@ -80,8 +89,12 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
     sqrt_w = float(np.sqrt(w_obs))
     margin = float(g_margin)
 
-    def kernel(x0_ref, xt_ref, uw_ref, obs_ref, us_ref, xl_ref, te_ref,
-               fe_ref):
+    def kernel(x0_ref, xt_ref, uw_ref, obs_ref, *rest):
+        if with_skip:
+            skip_ref, us_ref, xl_ref, te_ref, fe_ref = rest
+        else:
+            skip_ref = None
+            us_ref, xl_ref, te_ref, fe_ref = rest
         shp = (tile_rows, 128)
         x0c = tuple(x0_ref[i].reshape(shp) for i in range(4))
         xt = tuple(xt_ref[i].reshape(shp) for i in range(4))
@@ -277,8 +290,11 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
             done_next = jnp.maximum(done_f, stop.astype(jnp.float32))
             return (it + 1, done_next, lam_next) + uf_next
 
+        done_init = (skip_ref[...].reshape(shp) if with_skip
+                     else jnp.zeros(shp, jnp.float32))
+
         def solve_from(uf0):
-            init = ((jnp.asarray(0), jnp.zeros(shp, jnp.float32),
+            init = ((jnp.asarray(0), done_init,
                      jnp.full(shp, 1e-3, jnp.float32)) + tuple(uf0))
             final = jax.lax.while_loop(cond, body, init)
             uf = list(final[3:])
@@ -322,24 +338,34 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
         te_ref[...] = term_err.reshape(tile)
         fe_ref[...] = feasible.reshape(tile)
 
-    @jax.jit
-    def solve(x0, x_term, u_warm, obs_lanes):
+    def solve(x0, x_term, u_warm, obs_lanes, skip=None):
         b = x_term.shape[-1]
         assert b % tile == 0, f"batch {b} must be a multiple of {tile}"
         grid = (b // tile,)
+        in_specs = [
+            pl.BlockSpec((4, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 2, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [x0, x_term, u_warm, obs_lanes]
+        if with_skip:
+            if skip is None:
+                skip = jnp.zeros((b,), jnp.float32)
+            in_specs.append(pl.BlockSpec((tile,), lambda i: (i,),
+                                         memory_space=pltpu.VMEM))
+            args.append(skip)
+        elif skip is not None:
+            raise ValueError("skip passed to a kernel built without "
+                             "with_skip=True")
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((4, tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, 2, tile), lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((7, tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((n, 2, tile), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
@@ -357,6 +383,15 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
                 jax.ShapeDtypeStruct((b,), jnp.float32),
             ],
             interpret=interpret,
-        )(x0, x_term, u_warm, obs_lanes)
+        )(*args)
 
-    return solve
+    solve_jit = jax.jit(solve)
+
+    def solve_api(x0, x_term, u_warm, obs_lanes, skip=None):
+        return solve_jit(x0, x_term, u_warm, obs_lanes, skip)
+
+    # callers (control/batched_nlmpc_soa.py) probe this to know the kernel
+    # accepts a skip mask — enables inactive-lane compaction transparently
+    solve_api.with_skip = with_skip
+    solve_api.tile = tile
+    return solve_api

@@ -283,3 +283,40 @@ def test_dedup_passes_bitwise_neutral():
                                   np.asarray(dedup.final_x))
     for a, c in zip(base.safe_set, dedup.safe_set):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_inactive_skip_bitwise_neutral():
+    """Inactive-lane compaction (done/replay lanes enter the fused kernel
+    pre-done, actives compacted to the batch front) must be BITWISE neutral:
+    per-lane results are tile-membership invariant, and inactive-lane outputs
+    are fully masked by the simulator. This is the production straggler
+    optimization (noise-on laps run to the 121-step budget while >99% of
+    lanes are done)."""
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        SoaScenarios, simulate_learning_runs_soa)
+    from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import build_fused_ilqr
+
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    b = 16  # k*b = 128 = one tile_rows=1 tile
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=3, max_steps=128, max_laps=8, solver_max_iter=12)
+    key = jax.random.PRNGKey(7)
+    base_solver = build_fused_ilqr(params, limits, 1.0, num_horizon=6,
+                                   max_iter=12, tile_rows=1, interpret=True)
+    base = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                      121, 1.0, key, pallas_solver=base_solver,
+                                      **kw)
+    skip_solver = build_fused_ilqr(params, limits, 1.0, num_horizon=6,
+                                   max_iter=12, tile_rows=1, interpret=True,
+                                   with_skip=True)
+    assert skip_solver.with_skip
+    fast = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                      121, 1.0, key,
+                                      pallas_solver=skip_solver, **kw)
+    np.testing.assert_array_equal(np.asarray(base.lap_steps),
+                                  np.asarray(fast.lap_steps))
+    np.testing.assert_array_equal(np.asarray(base.lap_done),
+                                  np.asarray(fast.lap_done))
+    for a, c in zip(base.safe_set, fast.safe_set):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
