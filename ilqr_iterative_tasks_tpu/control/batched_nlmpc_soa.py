@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ilqr_iterative_tasks_tpu.control.batched_soa import (
-    SoaScenarios, _lex_argmin_rows, _topk_select)
+    SoaScenarios, _lex_argmin_rows, _stable_partition, _topk_select)
 from ilqr_iterative_tasks_tpu.ops.ilqr_soa import step_soa
 from ilqr_iterative_tasks_tpu.ops.lm_shooting_soa import (
     lm_feasibility_solve_soa)
@@ -75,6 +75,13 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
     b = scenarios.x0.shape[-1]
     dt = jnp.asarray(dt, dtype)
     goal_tol = 0.8
+    # record scatters write row t_next == sim_step_budget on the final step
+    # of a budget-exhausted lane, and goal_append one row past that — require
+    # room so no scatter ever goes out of bounds
+    if max_steps < sim_step_budget + (2 if goal_append else 1):
+        raise ValueError(
+            f"max_steps={max_steps} too small for sim_step_budget="
+            f"{sim_step_budget} (+{2 if goal_append else 1} recorded rows)")
 
     # ---- safe set, batch-trailing (states + inputs for warm starts) ----
     ss_states = jnp.zeros((max_laps, max_steps, 4, b), dtype)
@@ -128,13 +135,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         x0b = jnp.broadcast_to(x[:, None, :], (4, k, b))
         u_warm_kb = jnp.broadcast_to(u_warm[:, :, None, :], (n, 2, k, b))
         if use_skip and inactive is not None:
-            act_i = (~inactive).astype(jnp.int32)
-            c_act = jnp.cumsum(act_i)
-            n_act = c_act[-1]
-            lane_dst = jnp.where(~inactive, c_act - 1,
-                                 n_act + jnp.cumsum(1 - act_i) - 1)  # (B,)
-            lane_src = jnp.zeros((b,), jnp.int32).at[lane_dst].set(
-                jnp.arange(b, dtype=jnp.int32))
+            lane_dst, lane_src, n_act = _stable_partition(inactive)
             skip_sorted = (jnp.arange(b) >= n_act).astype(jnp.float32)
             skip_kb = jnp.broadcast_to(skip_sorted[None, :],
                                        (k, b)).reshape(k * b)
@@ -267,10 +268,12 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             # lanes: row t of us_rec was never written (stays 0) so the value
             # is masked to 0; row t_next(=t) of xs_rec already holds the
             # frozen x, so the rewrite is a no-op.
+            # (in-bounds by the max_steps check at entry; mode="drop" pins the
+            # otherwise-unspecified OOB-scatter semantics regardless)
             lane = jnp.arange(b)
             us_rec = us_rec.at[t, :, lane].set(
-                jnp.where(done[None, :], 0.0, u).T)
-            xs_rec = xs_rec.at[t_next, :, lane].set(x_next.T)
+                jnp.where(done[None, :], 0.0, u).T, mode="drop")
+            xs_rec = xs_rec.at[t_next, :, lane].set(x_next.T, mode="drop")
             reach = jnp.sqrt(sum((x_next[i] - scenarios.goal[i]) ** 2
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)

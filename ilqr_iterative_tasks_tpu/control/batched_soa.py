@@ -97,6 +97,27 @@ class SoaRunResult(NamedTuple):
     final_key: jnp.ndarray = None
 
 
+def _stable_partition(to_tail):
+    """Stable-partition permutation: entries with ``to_tail`` False first.
+
+    to_tail: (M,) bool. Returns (dst, src, n_front) where dst[i] is the
+    destination of entry i, src[j] is the source of destination j
+    (so ``A_perm = take(A, src, -1)`` and ``A[..., i] == A_perm[..., dst[i]]``),
+    and n_front counts the False entries. Two cumsums + one scatter — cheaper
+    than argsort on TPU. Shared by the inactive-lane compaction of both SoA
+    simulators and the dedup-pass compaction below.
+    """
+    keep = (~to_tail).astype(jnp.int32)
+    c_keep = jnp.cumsum(keep)
+    n_front = c_keep[-1]
+    m = to_tail.shape[0]
+    dst = jnp.where(~to_tail, c_keep - 1,
+                    n_front + jnp.cumsum(1 - keep) - 1)  # (M,)
+    src = jnp.zeros((m,), jnp.int32).at[dst].set(
+        jnp.arange(m, dtype=jnp.int32))
+    return dst, src, n_front
+
+
 def _topk_select(dist, k, arrs):
     """k smallest-distance rows per lane + row extraction, gather-free.
 
@@ -208,6 +229,13 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
     if dedup_passes and pallas_solver is None:
         raise ValueError("dedup_passes requires a pallas_solver "
                          "(built with with_skip=True)")
+    # the record scatter writes row t_next == sim_step_budget on the final
+    # step of a budget-exhausted lane, and goal_append writes one row past
+    # that — require room so no scatter ever goes out of bounds
+    if max_steps < sim_step_budget + (2 if goal_append else 1):
+        raise ValueError(
+            f"max_steps={max_steps} too small for sim_step_budget="
+            f"{sim_step_budget} (+{2 if goal_append else 1} recorded rows)")
     n = params.num_horizon
     k = params.num_ss_points
     nsi = params.num_ss_iter
@@ -272,16 +300,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
         states, qfun, valid, lap_len = ss
         zeros_ws = jnp.zeros((n, 2, b), dtype)
         if use_skip and inactive is not None:
-            # stable partition: actives first. pos = destination of lane i;
-            # perm = source of destination j (two cumsums + one scatter —
-            # cheaper than argsort on TPU).
-            act_i = (~inactive).astype(jnp.int32)
-            c_act = jnp.cumsum(act_i)
-            n_act = c_act[-1]
-            lane_dst = jnp.where(~inactive, c_act - 1,
-                                 n_act + jnp.cumsum(1 - act_i) - 1)  # (B,)
-            lane_src = jnp.zeros((b,), jnp.int32).at[lane_dst].set(
-                jnp.arange(b, dtype=jnp.int32))
+            lane_dst, lane_src, n_act = _stable_partition(inactive)
             skip_sorted = (jnp.arange(b) >= n_act).astype(jnp.float32)
             skip_kb = jnp.broadcast_to(skip_sorted[None, :],
                                        (k, b)).reshape(k * b)
@@ -330,8 +349,14 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                         # u_init=zeros, lamb, obstacle are pass-invariant
                         # within a control step) — reuse the cached result.
                         ent = cache[off]
+                        # the fresh candidate must itself be selectable:
+                        # overflow candidates (k > stored lap length) repeat
+                        # idx 0 and would spuriously "match" a valid cached
+                        # slot-0 entry — keep the invariant explicit here
+                        # rather than relying on the downstream cost mask.
                         match = ((idx_kb[:, None, :] == ent["idx"][None])
-                                 & ent["ok"][None])  # (K, C, B)
+                                 & ent["ok"][None]
+                                 & cand_ok[:, None, :])  # (K, C, B)
                         found = jnp.any(match, axis=1)  # (K, B)
                         src = jnp.argmax(match, axis=1)  # (K, B)
                         us_cached = jnp.take_along_axis(
@@ -342,14 +367,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                         # Compact duplicates to the tail so whole kernel
                         # tiles start all-done and exit at iteration zero.
                         skip_flat = found.reshape(k * b)
-                        cum_fresh = jnp.cumsum((~skip_flat).astype(jnp.int32))
-                        num_fresh = cum_fresh[-1]
-                        pos = jnp.where(
-                            ~skip_flat, cum_fresh - 1,
-                            num_fresh
-                            + jnp.cumsum(skip_flat.astype(jnp.int32)) - 1)
-                        inv = jnp.zeros((k * b,), jnp.int32).at[pos].set(
-                            jnp.arange(k * b, dtype=jnp.int32))
+                        pos, inv, _num_fresh = _stable_partition(skip_flat)
                         us_f, xl_f, cost_f, d_f = pallas_solver(
                             x0b.reshape(4, k * b)[:, inv],
                             x_terms.reshape(4, k * b)[:, inv],
@@ -507,8 +525,11 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             # per-lane scatter: row t_next of each lane <- x_next. For done
             # lanes this rewrites row t (frozen) with the frozen x — a no-op,
             # so no mask is needed; a true scatter beats the previous
-            # (T, 4, B) onehot-where by ~T/1 in HBM traffic.
-            xs_rec = xs_rec.at[t_next, :, jnp.arange(b)].set(x_next.T)
+            # (T, 4, B) onehot-where by ~T/1 in HBM traffic. In-bounds by the
+            # max_steps check at function entry; mode="drop" pins the
+            # otherwise-unspecified OOB-scatter semantics regardless.
+            xs_rec = xs_rec.at[t_next, :, jnp.arange(b)].set(
+                x_next.T, mode="drop")
             reach = jnp.sqrt(sum((x_next[i] - scenarios.goal[i]) ** 2
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)

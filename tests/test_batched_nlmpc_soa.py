@@ -99,3 +99,39 @@ def test_nlmpc_soa_checkpoint_exact_resume(tmp_path):
                                    resume_from=resume, **kw)
     got = np.concatenate([steps_part, np.asarray(rest.lap_steps)], axis=0)
     np.testing.assert_array_equal(got, np.asarray(full.lap_steps))
+
+
+def test_nlmpc_inactive_skip_bitwise_neutral():
+    """Mirror of test_batched.py::test_inactive_skip_bitwise_neutral for the
+    NLMPC SoA simulator (ADVICE r1, medium): the inactive-lane compaction
+    path (lane_src/lane_dst permutation including the u_warm permute, plus the
+    with_skip input of the fused LM kernel) must be BITWISE neutral — it only
+    reorders lanes entering the kernel and masks discarded outputs. Run with
+    k*b = 2 tiles (tile_rows=1, b=32, k=8) so whole-tile early exit is
+    exercised once the lane tail is all-inactive."""
+    from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
+        build_fused_lm_shooting)
+
+    params, limits, _, seed_xs, seed_us, xcl, obstacle = _setup(1)
+    b = 32  # k*b = 256 = two tile_rows=1 tiles
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
+                                 noise_on=True, dtype=DT)
+    key = jax.random.PRNGKey(7)
+    kw = dict(num_laps=3, max_steps=128, max_laps=8, max_lm_iters=10)
+    base_solver = build_fused_lm_shooting(limits, 1.0, num_horizon=6,
+                                          max_iters=10, tile_rows=1,
+                                          interpret=True)
+    base = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us, 121,
+                                   1.0, key, pallas_solver=base_solver, **kw)
+    skip_solver = build_fused_lm_shooting(limits, 1.0, num_horizon=6,
+                                          max_iters=10, tile_rows=1,
+                                          interpret=True, with_skip=True)
+    assert skip_solver.with_skip
+    fast = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us, 121,
+                                   1.0, key, pallas_solver=skip_solver, **kw)
+    np.testing.assert_array_equal(np.asarray(base.lap_steps),
+                                  np.asarray(fast.lap_steps))
+    np.testing.assert_array_equal(np.asarray(base.lap_done),
+                                  np.asarray(fast.lap_done))
+    for a, c in zip(base.safe_set, fast.safe_set):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
