@@ -183,7 +183,7 @@ def _lex_argmin_rows(cost_rows):
 @partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
                                    "goal_append", "sim_step_budget",
                                    "solver_max_iter", "pallas_solver",
-                                   "dedup_passes"))
+                                   "pallas_step_solver", "dedup_passes"))
 def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                scenarios: SoaScenarios, seed_xs, seed_us,
                                seed_len, dt, key, *, num_laps: int,
@@ -192,6 +192,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                sim_step_budget: int = 121,
                                solver_max_iter: int | None = None,
                                pallas_solver=None,
+                               pallas_step_solver=None,
                                dedup_passes: bool = False,
                                resume_from=None) -> SoaRunResult:
     """Seed + ``num_laps`` learning laps for B scenarios, batch-trailing.
@@ -229,6 +230,22 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
     if dedup_passes and pallas_solver is None:
         raise ValueError("dedup_passes requires a pallas_solver "
                          "(built with with_skip=True)")
+    if pallas_step_solver is not None:
+        # the whole-control-step fused kernel replaces the per-candidate
+        # solver AND all of the selection glue — mutually exclusive backends
+        if pallas_solver is not None or dedup_passes:
+            raise ValueError("pallas_step_solver replaces pallas_solver/"
+                             "dedup_passes — pass only one backend")
+        s = pallas_step_solver
+        if (s.k != params.num_ss_points or s.nsi != params.num_ss_iter
+                or s.num_horizon != params.num_horizon
+                or s.max_steps != max_steps or s.max_laps != max_laps):
+            raise ValueError(
+                "pallas_step_solver was built for (k, nsi, n, max_steps, "
+                f"max_laps)=({s.k}, {s.nsi}, {s.num_horizon}, {s.max_steps}, "
+                f"{s.max_laps}); the simulator was called with "
+                f"({params.num_ss_points}, {params.num_ss_iter}, "
+                f"{params.num_horizon}, {max_steps}, {max_laps})")
     # the record scatter writes row t_next == sim_step_budget on the final
     # step of a budget-exhausted lane, and goal_append writes one row past
     # that — require room so no scatter ever goes out of bounds
@@ -297,6 +314,30 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
         measured to TRAP the LM in the previous local solution (laps stall at
         ~30 steps vs 24) with no throughput win — do not "optimize" this.
         """
+        if pallas_step_solver is not None:
+            # fused whole-step kernel (ops/pallas_i2lqr_step.py): kNN,
+            # 3 relaxation passes, nsi*k candidate solves, lexicographic
+            # selection and the shrink trigger all happen in-kernel; the
+            # safe-set lap slices stream via scalar-prefetch block indices.
+            # No lane compaction: skipped lanes enter pre-done and all-skip
+            # tiles bypass the body, without any scalar-core gathers.
+            from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import (
+                obstacle_to_lanes)
+            states, qfun, valid, lap_len = ss
+            obs_l = obstacle_to_lanes(obstacle, b)
+            offs = jnp.arange(nsi, dtype=jnp.int32)
+            lap_id = lap_count - nsi + offs  # (nsi,)
+            lap_ok = (lap_id >= 0).astype(jnp.int32)
+            lap_ids = jnp.clip(lap_id, 0, max_laps - 1).astype(jnp.int32)
+            skip = (inactive.astype(jnp.float32) if inactive is not None
+                    else jnp.zeros((b,), jnp.float32))
+            us_sel, shrink_f = pallas_step_solver(
+                x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
+            u = us_sel[0]
+            u_old = jnp.concatenate(
+                [us_sel[1:], jnp.zeros((1, 2, b), dtype)], axis=0)
+            return u, u_old, shrink_f > 0.5
+
         states, qfun, valid, lap_len = ss
         zeros_ws = jnp.zeros((n, 2, b), dtype)
         if use_skip and inactive is not None:
@@ -493,10 +534,16 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             u_solve, u_old_new, shrink = solve_step(ss, lap_count, x,
                                                     obstacle,
                                                     inactive=done | in_replay)
-            # replay branch: stored input at replay_pos per lane
+            # replay branch: stored input at replay_pos per lane. One-hot
+            # mask-reduce instead of take_along_axis: the (2, B) gather runs
+            # on the TPU scalar core (~1.7 ns/element measured) while the
+            # where-sum stays on the VPU; exact (single non-zero per lane,
+            # modulo a -0.0 -> +0.0 flip nothing downstream is sensitive to).
             p = jnp.clip(replay_pos, 0, n - 1)
-            u_replay = jnp.take_along_axis(
-                u_old, p[None, None, :].astype(jnp.int32), axis=0)[0]  # (2,B)
+            onehot_p = (jnp.arange(n, dtype=jnp.int32)[:, None]
+                        == p[None, :])  # (N, B)
+            u_replay = jnp.sum(
+                jnp.where(onehot_p[:, None, :], u_old, 0.0), axis=0)  # (2,B)
             u = jnp.where(in_replay[None, :], u_replay, u_solve)
             u_old_next = jnp.where(in_replay[None, None, :], u_old, u_old_new)
             horizon_next = jnp.where(

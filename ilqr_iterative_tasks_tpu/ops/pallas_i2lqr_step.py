@@ -1,0 +1,302 @@
+"""Fused Pallas TPU kernel for the ENTIRE i2LQR control step.
+
+Profiling the batched learning simulator (control/batched_soa.py) on v5e
+showed the fused candidate SOLVER (ops/pallas_ilqr.py) at only ~20% of step
+time — the remaining ~80% was XLA glue scheduled per relaxation pass: safe-set
+kNN sweeps over (T, B) distance tensors, candidate extraction, lane-compaction
+gathers (~1.7 ns/element on the TPU scalar core), the (L, K, B) selection
+gathers, and three separate kernel launches of k*B lanes each.
+
+This kernel fuses ONE WHOLE calc_input (reference
+iterative_ilqr/utils/base.py:371-479) per scenario lane:
+
+    for each of the 3 relaxation passes (base.py:384, break at :472):
+        for each of the last num_ss_iter laps:             (base.py:391)
+            L1-kNN of x_guess in that lap's stored states  (base.py:332-341)
+            extract the k candidate terminal states + Qfun
+        solve all nsi*k candidates by LM-iLQR              (base.py:414-426)
+        relaxed reach cost 80/10^pass tiers                (base.py:427-437)
+        lexicographic row-min + argmin selection           (base.py:462-468)
+        re-center x_guess on the winner's terminal state   (base.py:469)
+
+per tile of ``tile_rows * 128`` lanes with everything VMEM-resident. The
+safe-set lap slices stream straight from HBM via scalar-prefetch block
+indices (one (1, T, 4, tile) DMA per lap per tile — no dynamic-slice copy,
+no gather). Candidates are solved sequentially per tile by ONE while_loop
+instance inside a fori_loop (per-lane results are lockstep-invariant: done
+lanes freeze, so grouping candidates differently from the per-candidate
+kernel is bitwise-neutral per lane — validated in
+tests/test_pallas_i2lqr_step.py against the composed path).
+
+Skip handling: lanes with skip=1 (finished lap / replay mode) start every LM
+loop done; a tile whose lanes are ALL skipped bypasses the entire body
+(pl.when) and costs only its block DMAs. No lane compaction is needed —
+avoiding the scalar-core gathers that dominated the composed path.
+
+Outputs: the selected input sequence us (n, 2, B), and shrink (B,) f32 0/1 —
+the horizon-shrink trigger "chosen candidate is the lap's last point"
+(base.py:474-477), computed in-kernel from the winning index and lap length.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ilqr_iterative_tasks_tpu.ops._pallas_lm_core import (
+    bake_consts, make_tile_funcs)
+from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
+
+
+def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
+                           *, num_horizon: int, max_steps: int,
+                           max_laps: int, max_iter: int = 150,
+                           tile_rows: int = 8, interpret: bool = False):
+    """Factory: returns
+    fn(x (4,B), states (max_laps,T,4,B), qfun (max_laps,T,B),
+       lap_len (max_laps,B) i32, lap_ids (nsi,) i32 [pre-clipped],
+       lap_ok (nsi,) i32, obs (6,B), skip (B,) f32)
+    -> (us (n,2,B), shrink (B,) f32).
+
+    All hyperparameters (including num_ss_points k, num_ss_iter nsi, the
+    3-pass relaxation schedule and thresholds) are baked as constants.
+    B must be a multiple of tile_rows*128. ``skip`` lanes return the zero
+    rollout (callers discard them); an all-skip tile exits after its DMAs.
+    """
+    tile = tile_rows * 128
+    n = num_horizon
+    k = int(params.num_ss_points)
+    nsi = int(params.num_ss_iter)
+    t_rows = max_steps
+    consts = bake_consts(params, limits, dt)
+    shp = (tile_rows, 128)
+    # relaxation units 80/10^pass exactly as the composed path computes them
+    # (Python-float division, then f32 constant) — base.py:428
+    units = tuple(80.0 / (10 ** outer) for outer in range(3))
+    nc = nsi * k  # total candidates per pass
+
+    def kernel(s_ref, *refs):
+        # calling convention: scalar-prefetch ref, input refs, output refs,
+        # scratch refs
+        st_refs = refs[0:nsi]
+        qf_refs = refs[nsi:2 * nsi]
+        # lap_len rides as ONE (max_laps, tile) block (a (1, tile) block
+        # would violate the TPU (8, 128) block-tiling rule) and is indexed
+        # by the prefetched lap ids in-kernel.
+        ll_ref = refs[2 * nsi]
+        x_ref, obs_ref, skip_ref = refs[2 * nsi + 1:2 * nsi + 4]
+        us_ref, shrink_ref = refs[2 * nsi + 4:2 * nsi + 6]
+        (cand_xt, cand_q, cand_ok, cand_idx,
+         sol_us, sol_xl, cost_sc) = refs[2 * nsi + 6:]
+
+        F = make_tile_funcs(consts, n, shp)
+        skip_f = skip_ref[...].reshape(shp)
+        # zero outputs unconditionally (all-skip tiles are discarded by the
+        # caller but must not leak stale VMEM)
+        us_ref[...] = jnp.zeros((n, 2, tile), jnp.float32)
+        shrink_ref[...] = jnp.zeros((tile,), jnp.float32)
+
+        @pl.when(jnp.max(1.0 - skip_f) > 0.5)
+        def _():
+            x0c = tuple(x_ref[i].reshape(shp) for i in range(4))
+            obs = tuple(obs_ref[i].reshape(shp) for i in range(6))
+            t_iota = jax.lax.broadcasted_iota(jnp.int32, (t_rows, tile), 0)
+            zeros_ui = tuple(jnp.zeros(shp, jnp.float32)
+                             for _ in range(2 * n))
+            inf = jnp.float32(jnp.inf)
+
+            def extract(off, xg):
+                """kNN + candidate extraction for ss-lap ``off``; fills the
+                candidate scratch rows [off*k, (off+1)*k)."""
+                st = [st_refs[off][0, :, c, :] for c in range(4)]  # (T, tile)
+                qf = qf_refs[off][0]  # (T, tile)
+                ll = ll_ref[s_ref[off]]  # (tile,) i32
+                lap_ok = s_ref[nsi + off] > 0
+                xgf = [xg[c].reshape(tile) for c in range(4)]  # lanes flat
+                dist = (jnp.abs(st[0] - xgf[0][None, :])
+                        + jnp.abs(st[1] - xgf[1][None, :])
+                        + jnp.abs(st[2] - xgf[2][None, :])
+                        + jnp.abs(st[3] - xgf[3][None, :]))
+                valid = (t_iota < ll[None, :]) & lap_ok
+                d = jnp.where(valid, dist, inf)
+                for kk in range(k):
+                    dmin = jnp.min(d, axis=0)  # (tile,)
+                    # first-min index == jnp.argmin (matches _topk_select)
+                    j = jnp.min(jnp.where(d == dmin[None, :], t_iota, t_rows),
+                                axis=0)
+                    m = t_iota == j[None, :]
+                    ci = off * k + kk
+                    for c in range(4):
+                        cand_xt[ci, c] = jnp.sum(
+                            jnp.where(m, st[c], 0.0), axis=0)
+                    cand_q[ci] = jnp.sum(jnp.where(m, qf, 0.0), axis=0)
+                    cand_idx[ci] = j
+                    cand_ok[ci] = jnp.isfinite(dmin).astype(jnp.float32)
+                    d = jnp.where(m, inf, d)
+
+            def do_pass(p_idx, carry):
+                xg, _us_sel, _shrink = carry
+                unit = jnp.where(
+                    p_idx == 0, jnp.float32(units[0]),
+                    jnp.where(p_idx == 1, jnp.float32(units[1]),
+                              jnp.float32(units[2])))
+                for off in range(nsi):
+                    extract(off, xg)
+
+                def solve_ci(ci, _):
+                    xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
+                    us, xs, _cost, dist = F.lm_solve(
+                        x0c, xt, obs, zeros_ui, skip_f, max_iter)
+                    for i in range(n):
+                        sol_us[ci, i, 0] = us[i][0].reshape(tile)
+                        sol_us[ci, i, 1] = us[i][1].reshape(tile)
+                    for c in range(4):
+                        sol_xl[ci, c] = xs[n][c].reshape(tile)
+                    # relaxed reach cost (base.py:427-437)
+                    q = cand_q[ci].reshape(shp)
+                    okc = cand_ok[ci].reshape(shp) > 0.5
+                    i_rel = jnp.maximum(jnp.ceil(dist / unit - 1e-12), 1.0)
+                    cost = jnp.where(
+                        dist <= unit * consts.max_relax_iter,
+                        q + float(n) + 100.0 * i_rel, inf)
+                    cost = jnp.where(okc, cost, inf)
+                    cost_sc[ci] = cost.reshape(tile)
+                    return 0
+
+                jax.lax.fori_loop(0, nc, solve_ci, 0)
+
+                # --- selection: lexicographic row-min over the nsi laps
+                # (mirrors _lex_argmin_rows), then argmin over k ---
+                rows = [[cost_sc[off * k + kk].reshape(shp)
+                         for kk in range(k)] for off in range(nsi)]
+                best_row = jnp.zeros(shp, jnp.int32)
+                for i in range(1, nsi):
+                    brow = [jnp.zeros(shp, jnp.float32) for _ in range(k)]
+                    for off in range(nsi):
+                        sel = best_row == off
+                        for kk in range(k):
+                            brow[kk] = jnp.where(sel, rows[off][kk],
+                                                 brow[kk])
+                    any_diff = jnp.zeros(shp, bool)
+                    a_first = jnp.zeros(shp, jnp.float32)
+                    b_first = jnp.zeros(shp, jnp.float32)
+                    for kk in range(k - 1, -1, -1):
+                        diff = rows[i][kk] != brow[kk]
+                        any_diff = any_diff | diff
+                        a_first = jnp.where(diff, rows[i][kk], a_first)
+                        b_first = jnp.where(diff, brow[kk], b_first)
+                    less = jnp.where(any_diff, a_first < b_first, False)
+                    best_row = jnp.where(less, i, best_row)
+                # row cost vector of the winning row, then first-min argmin
+                # over k (matches jnp.argmin on the (K, B) row)
+                best_col = jnp.zeros(shp, jnp.int32)
+                best_cost = jnp.full(shp, inf)
+                for kk in range(k):
+                    rck = jnp.zeros(shp, jnp.float32)
+                    for off in range(nsi):
+                        rck = jnp.where(best_row == off,
+                                        rows[off][kk], rck)
+                    better = rck < best_cost
+                    best_cost = jnp.where(better, rck, best_cost)
+                    best_col = jnp.where(better, kk, best_col)
+                ci_sel = best_row * k + best_col
+                us_sel = [jnp.zeros(shp, jnp.float32) for _ in range(2 * n)]
+                xl_sel = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
+                idx_sel = jnp.zeros(shp, jnp.int32)
+                len_sel = jnp.zeros(shp, jnp.int32)
+                for ci in range(nc):
+                    sel = ci_sel == ci
+                    for i in range(n):
+                        us_sel[2 * i] = jnp.where(
+                            sel, sol_us[ci, i, 0].reshape(shp),
+                            us_sel[2 * i])
+                        us_sel[2 * i + 1] = jnp.where(
+                            sel, sol_us[ci, i, 1].reshape(shp),
+                            us_sel[2 * i + 1])
+                    for c in range(4):
+                        xl_sel[c] = jnp.where(
+                            sel, sol_xl[ci, c].reshape(shp), xl_sel[c])
+                    idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
+                                        idx_sel)
+                for off in range(nsi):
+                    len_sel = jnp.where(best_row == off,
+                                        ll_ref[s_ref[off]].reshape(shp),
+                                        len_sel)
+                shrink = ((idx_sel + 1) > (len_sel - 1)).astype(jnp.float32)
+                return (tuple(xl_sel), tuple(us_sel), shrink)
+
+            xg0 = x0c
+            init = (xg0, zeros_ui, jnp.zeros(shp, jnp.float32))
+            _xg, us_sel, shrink = jax.lax.fori_loop(0, 3, do_pass, init)
+            for i in range(n):
+                us_ref[i, 0] = us_sel[2 * i].reshape(tile)
+                us_ref[i, 1] = us_sel[2 * i + 1].reshape(tile)
+            shrink_ref[...] = shrink.reshape(tile)
+
+    def solve(x, states, qfun, lap_len, lap_ids, lap_ok, obs_lanes, skip):
+        b = x.shape[-1]
+        assert b % tile == 0, f"batch {b} must be a multiple of {tile}"
+        grid = (b // tile,)
+        sargs = jnp.concatenate([lap_ids.astype(jnp.int32),
+                                 lap_ok.astype(jnp.int32)])
+
+        def st_map(off):
+            return lambda i, s: (s[off], 0, 0, i)
+
+        def qf_map(off):
+            return lambda i, s: (s[off], 0, i)
+
+        in_specs = (
+            [pl.BlockSpec((1, t_rows, 4, tile), st_map(off))
+             for off in range(nsi)]
+            + [pl.BlockSpec((1, t_rows, tile), qf_map(off))
+               for off in range(nsi)]
+            + [pl.BlockSpec((max_laps, tile), lambda i, s: (0, i)),
+               pl.BlockSpec((4, tile), lambda i, s: (0, i)),
+               pl.BlockSpec((6, tile), lambda i, s: (0, i)),
+               pl.BlockSpec((tile,), lambda i, s: (i,))])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((n, 2, tile), lambda i, s: (0, 0, i)),
+                pl.BlockSpec((tile,), lambda i, s: (i,)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nc, 4, tile), jnp.float32),   # cand_xt
+                pltpu.VMEM((nc, tile), jnp.float32),      # cand_q
+                pltpu.VMEM((nc, tile), jnp.float32),      # cand_ok
+                pltpu.VMEM((nc, tile), jnp.int32),        # cand_idx
+                pltpu.VMEM((nc, n, 2, tile), jnp.float32),  # sol_us
+                pltpu.VMEM((nc, 4, tile), jnp.float32),   # sol_xl
+                pltpu.VMEM((nc, tile), jnp.float32),      # cost_sc
+            ],
+        )
+        args = [sargs] + [states] * nsi + [qfun] * nsi \
+            + [lap_len, x, obs_lanes, skip]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n, 2, b), jnp.float32),
+                jax.ShapeDtypeStruct((b,), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*args)
+
+    solve_jit = jax.jit(solve)
+
+    def solve_api(x, states, qfun, lap_len, lap_ids, lap_ok, obs_lanes, skip):
+        return solve_jit(x, states, qfun, lap_len, lap_ids, lap_ok,
+                         obs_lanes, skip)
+
+    solve_api.tile = tile
+    solve_api.nsi = nsi
+    solve_api.k = k
+    solve_api.num_horizon = n
+    solve_api.max_steps = max_steps
+    solve_api.max_laps = max_laps
+    return solve_api

@@ -1,0 +1,97 @@
+"""Whole-control-step fused kernel (ops/pallas_i2lqr_step.py) vs the
+composed path (per-candidate fused solver + XLA kNN/selection glue).
+
+Per-lane candidate solves are lockstep-invariant (done lanes freeze), the
+kNN/extraction/selection math mirrors control/batched_soa.py op-for-op, and
+masked one-hot sums are exact (single non-zero) — so the fused step must be
+BITWISE identical to the composed path, including with skip lanes (done /
+replay) present and across multiple kernel tiles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ilqr_iterative_tasks_tpu.control.batched_soa import (
+    SoaScenarios, simulate_learning_runs_soa)
+from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (
+    build_fused_i2lqr_step)
+from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import build_fused_ilqr
+from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
+
+DT = jnp.float32
+
+
+def _setup(dtype=DT, **overrides):
+    params = IlqrParams.make(dtype=dtype)
+    if overrides:
+        params = params.replace(**overrides)
+    limits = SystemLimits.make(dtype=dtype)
+    xcl, ucl = seed_trajectory(1.0)
+    max_steps = 128
+    seed_xs = jnp.zeros((max_steps, 4), dtype).at[:121].set(
+        jnp.asarray(xcl, dtype))
+    seed_us = jnp.zeros((max_steps, 2), dtype).at[:120].set(
+        jnp.asarray(ucl, dtype))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
+    return params, limits, seed_xs, seed_us, xcl, obstacle
+
+
+def _run_both(params, limits, seed_xs, seed_us, xcl, obstacle, b, num_laps,
+              cap, tile_rows):
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
+                                 noise_on=True, dtype=DT)
+    # 70-step budget (vs the reference 121) keeps every learning lap
+    # completable (lap 1 needs ~55 steps) while trimming interpret-mode cost;
+    # both paths get the same budget so the comparison is unaffected.
+    kw = dict(num_laps=num_laps, max_steps=128, max_laps=8,
+              solver_max_iter=cap, sim_step_budget=70)
+    key = jax.random.PRNGKey(3)
+    composed_solver = build_fused_ilqr(
+        params, limits, 1.0, num_horizon=params.num_horizon, max_iter=cap,
+        tile_rows=1, interpret=True)
+    composed = simulate_learning_runs_soa(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+        pallas_solver=composed_solver, **kw)
+    step_solver = build_fused_i2lqr_step(
+        params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
+        max_laps=8, max_iter=cap, tile_rows=tile_rows, interpret=True)
+    fused = simulate_learning_runs_soa(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+        pallas_step_solver=step_solver, **kw)
+    return composed, fused
+
+
+def _assert_bitwise(composed, fused):
+    np.testing.assert_array_equal(np.asarray(composed.lap_steps),
+                                  np.asarray(fused.lap_steps))
+    np.testing.assert_array_equal(np.asarray(composed.lap_done),
+                                  np.asarray(fused.lap_done))
+    for a, c in zip(composed.safe_set, fused.safe_set):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+@pytest.mark.slow
+def test_step_kernel_bitwise_vs_composed():
+    """One kernel tile, default params (k=8, nsi=1), noise on: the fused
+    step (kNN + 3 passes + selection in-kernel) must reproduce the composed
+    path bitwise across a full learning run (skip lanes exercised by the
+    done/replay masking of laps finishing at different steps)."""
+    setup = _setup()
+    composed, fused = _run_both(*setup, b=128, num_laps=2, cap=12,
+                                tile_rows=1)
+    _assert_bitwise(composed, fused)
+
+
+@pytest.mark.slow
+def test_step_kernel_two_tiles_nsi2_bitwise():
+    """Two kernel tiles and num_ss_iter=2: exercises the scalar-prefetch
+    lap indexing with a not-yet-valid history row (lap_ok masking on the
+    first learning lap) and the in-kernel lexicographic row selection."""
+    setup = _setup(num_ss_iter=2)
+    composed, fused = _run_both(*setup, b=256, num_laps=2, cap=12,
+                                tile_rows=1)
+    _assert_bitwise(composed, fused)
