@@ -38,9 +38,9 @@ def main():
     from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
 
     on_tpu = jax.default_backend() == "tpu"
-    # B=65536 is the measured throughput peak (5791/s vs 5686 at 32768);
-    # B=131072 faults the v5e device (same class as the AoS large-batch
-    # fault) — do not raise further.
+    # B=65536 is the measured throughput peak; B=131072 runs fine under the
+    # fused step kernel but is flat (35.2k vs 35.1k/s pre-onehot-fix) — the
+    # kernel is compute-bound, so bigger batches only add memory pressure.
     batch = 65536 if on_tpu else 64
     num_laps = 3
     dtype = jnp.float32
@@ -62,20 +62,17 @@ def main():
     kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
               solver_max_iter=16)
     solver_backend = "soa"
-    if on_tpu:
-        # fused Pallas candidate solver: ~1.6x over the XLA SoA path
-        # (k * batch lanes must divide the kernel tile)
-        from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import build_fused_ilqr
-        k = params.num_ss_points
-        if (k * batch) % (64 * 128) == 0:
-            # with_skip: the simulator compacts finished/replay lanes to the
-            # batch tail each step and whole inactive tiles exit at iteration
-            # zero — straggler lanes no longer drag the full batch through the
-            # 121-step budget at full solver cost (~2.5-3x measured).
-            kw["pallas_solver"] = build_fused_ilqr(
-                params, limits, 1.0, num_horizon=params.num_horizon,
-                max_iter=16, tile_rows=64, with_skip=True)
-            solver_backend = "pallas"
+    if on_tpu and batch % (8 * 128) == 0:
+        # fused WHOLE-CONTROL-STEP kernel (ops/pallas_i2lqr_step.py): kNN,
+        # 3 relaxation passes, k candidate solves and selection per lane in
+        # one VMEM-resident kernel — 2.7x over the per-candidate kernel +
+        # XLA glue (which was ~80% scalar-core gathers / top-k sweeps).
+        from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (
+            build_fused_i2lqr_step)
+        kw["pallas_step_solver"] = build_fused_i2lqr_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=max_steps, max_laps=8, max_iter=16, tile_rows=8)
+        solver_backend = "pallas_step"
 
     def run(seed):
         res = simulate_learning_runs_soa(
@@ -109,12 +106,12 @@ def main():
     # 0.02, completion 1.0 — docs/PERF.md ladder; cap 8 starts drifting).
     n_kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
                 max_lm_iters=12)
-    if on_tpu and (n_params.num_ss_points * n_batch) % (64 * 128) == 0:
-        from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
-            build_fused_lm_shooting)
-        n_kw["pallas_solver"] = build_fused_lm_shooting(
-            limits, 1.0, num_horizon=n_params.num_horizon, max_iters=12,
-            tile_rows=64, with_skip=True)
+    if on_tpu and n_batch % (8 * 128) == 0:
+        from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
+            build_fused_nlmpc_step)
+        n_kw["pallas_step_solver"] = build_fused_nlmpc_step(
+            n_params, limits, 1.0, num_horizon=n_params.num_horizon,
+            max_steps=max_steps, max_laps=8, max_iters=12, tile_rows=8)
 
     def run_nlmpc(seed):
         res = simulate_nlmpc_runs_soa(

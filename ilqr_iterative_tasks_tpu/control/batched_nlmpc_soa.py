@@ -50,7 +50,8 @@ class NlmpcSoaRunResult(NamedTuple):
 
 @partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
                                    "goal_append", "sim_step_budget",
-                                   "max_lm_iters", "pallas_solver"))
+                                   "max_lm_iters", "pallas_solver",
+                                   "pallas_step_solver"))
 def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             scenarios: SoaScenarios, seed_xs, seed_us,
                             seed_len, dt, key, *, num_laps: int,
@@ -59,6 +60,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             sim_step_budget: int = 121,
                             max_lm_iters: int = 60,
                             pallas_solver=None,
+                            pallas_step_solver=None,
                             resume_from=None) -> NlmpcSoaRunResult:
     """Seed + ``num_laps`` NLMPC learning laps for B scenarios, batch-trailing.
 
@@ -75,6 +77,18 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
     b = scenarios.x0.shape[-1]
     dt = jnp.asarray(dt, dtype)
     goal_tol = 0.8
+    if pallas_step_solver is not None:
+        if pallas_solver is not None:
+            raise ValueError("pallas_step_solver replaces pallas_solver — "
+                             "pass only one backend")
+        s = pallas_step_solver
+        if (s.k != k or s.nsi != nsi or s.num_horizon != n
+                or s.max_steps != max_steps or s.max_laps != max_laps):
+            raise ValueError(
+                "pallas_step_solver was built for (k, nsi, n, max_steps, "
+                f"max_laps)=({s.k}, {s.nsi}, {s.num_horizon}, {s.max_steps}, "
+                f"{s.max_laps}); the simulator was called with "
+                f"({k}, {nsi}, {n}, {max_steps}, {max_laps})")
     # record scatters write row t_next == sim_step_budget on the final step
     # of a budget-exhausted lane, and goal_append one row past that — require
     # room so no scatter ever goes out of bounds
@@ -131,6 +145,25 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         zero (bitwise-neutral for active lanes — see batched_soa.solve_step).
         """
         states, inputs, qfun, valid, lap_len = ss
+        if pallas_step_solver is not None:
+            # fused whole-step kernel (ops/pallas_nlmpc_step.py): kNN on the
+            # terminal guess, nsi*k LM feasibility solves, lexicographic
+            # selection and the successor-guess advance all in-kernel.
+            from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
+                obstacle_to_lanes_nlmpc)
+            obs_l = obstacle_to_lanes_nlmpc(obstacle, b)
+            offs = jnp.arange(nsi, dtype=jnp.int32)
+            lap_id = lap_count - nsi + offs
+            lap_ok = (lap_id >= 0).astype(jnp.int32)
+            lap_ids = jnp.clip(lap_id, 0, max_laps - 1).astype(jnp.int32)
+            skip = (inactive.astype(jnp.float32) if inactive is not None
+                    else jnp.zeros((b,), jnp.float32))
+            us_sel, feas_f, new_guess = pallas_step_solver(
+                x, guess, u_warm, states, qfun, lap_len, lap_ids, lap_ok,
+                obs_l, skip)
+            u_warm_new = jnp.concatenate([us_sel[1:], us_sel[-1:]], axis=0)
+            return us_sel[0], feas_f > 0.5, new_guess, u_warm_new
+
         rows_cost, rows_us, rows_idx, rows_lap = [], [], [], []
         x0b = jnp.broadcast_to(x[:, None, :], (4, k, b))
         u_warm_kb = jnp.broadcast_to(u_warm[:, :, None, :], (n, 2, k, b))
@@ -263,17 +296,19 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             guess_next = jnp.where(done[None, :], guess, guess_new)
             u_warm_next = jnp.where(done[None, None, :], u_warm, u_warm_new)
             u_prev_next = jnp.where(done[None, :], u_prev, u)
-            # per-lane scatter of the records at the active step (beats the
-            # previous (T, ·, B) onehot-where by ~T/1 in HBM traffic). Done
-            # lanes: row t of us_rec was never written (stays 0) so the value
-            # is masked to 0; row t_next(=t) of xs_rec already holds the
-            # frozen x, so the rewrite is a no-op.
-            # (in-bounds by the max_steps check at entry; mode="drop" pins the
-            # otherwise-unspecified OOB-scatter semantics regardless)
-            lane = jnp.arange(b)
-            us_rec = us_rec.at[t, :, lane].set(
-                jnp.where(done[None, :], 0.0, u).T, mode="drop")
-            xs_rec = xs_rec.at[t_next, :, lane].set(x_next.T, mode="drop")
+            # record writes via (T, ·, B) onehot-selects: a per-lane scatter
+            # looks cheaper on paper (T/1 less traffic) but lowers to the TPU
+            # scalar core at ~80 ns/row — measured 5.4 ms/step at B=64k vs
+            # ~0.4 ms for the full-tensor select on the VPU. Done lanes: row
+            # t of us_rec was never written (stays 0) so the value is masked
+            # to 0; row t_next(=t) of xs_rec already holds the frozen x, so
+            # the rewrite is a no-op. In-bounds by the max_steps entry check.
+            onehot_t = t_idx[:, None] == t[None, :]  # (T, B)
+            us_rec = jnp.where(onehot_t[:, None, :],
+                               jnp.where(done[None, :], 0.0, u)[None],
+                               us_rec)
+            onehot_tn = t_idx[:, None] == t_next[None, :]
+            xs_rec = jnp.where(onehot_tn[:, None, :], x_next[None], xs_rec)
             reach = jnp.sqrt(sum((x_next[i] - scenarios.goal[i]) ** 2
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)

@@ -569,14 +569,15 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             horizon_next = jnp.where(done, horizon_left, horizon_next)
             replay_next = jnp.where(done, replay_pos, replay_next)
             u_old_next = jnp.where(done[None, None, :], u_old, u_old_next)
-            # per-lane scatter: row t_next of each lane <- x_next. For done
-            # lanes this rewrites row t (frozen) with the frozen x — a no-op,
-            # so no mask is needed; a true scatter beats the previous
-            # (T, 4, B) onehot-where by ~T/1 in HBM traffic. In-bounds by the
-            # max_steps check at function entry; mode="drop" pins the
-            # otherwise-unspecified OOB-scatter semantics regardless.
-            xs_rec = xs_rec.at[t_next, :, jnp.arange(b)].set(
-                x_next.T, mode="drop")
+            # record row t_next of each lane <- x_next via a (T, 4, B)
+            # onehot-select. For done lanes this rewrites row t (frozen) with
+            # the frozen x — a no-op, so no mask is needed. A per-lane
+            # scatter looks cheaper on paper (T/1 less traffic) but lowers to
+            # the TPU scalar core at ~80 ns/row — measured 5.4 ms/step at
+            # B=64k vs ~0.4 ms for the full-tensor select on the VPU.
+            # In-bounds by the max_steps check at function entry.
+            onehot_t = t_idx[:, None] == t_next[None, :]  # (T, B)
+            xs_rec = jnp.where(onehot_t[:, None, :], x_next[None], xs_rec)
             reach = jnp.sqrt(sum((x_next[i] - scenarios.goal[i]) ** 2
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)

@@ -1,7 +1,7 @@
 """One-off probe: headline learning-run throughput vs scenario batch size.
 
 Usage: python -m ilqr_iterative_tasks_tpu.experiments.batch_probe 65536
-       python -m ilqr_iterative_tasks_tpu.experiments.batch_probe --nlmpc 8192
+       python -m ilqr_iterative_tasks_tpu.experiments.batch_probe --nlmpc --step 8192
 Prints one JSON line per batch size (same metric as bench.py).
 """
 
@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 
 def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
-        tile_rows: int = 128, noise_on: bool = True, dedup: bool = False):
+        tile_rows: int = 128, noise_on: bool = True, dedup: bool = False,
+        step: bool = False):
     from ilqr_iterative_tasks_tpu.control.batched_soa import (
         SoaScenarios, simulate_learning_runs_soa)
     from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
@@ -46,11 +47,23 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
                                        noise_on=noise_on, dtype=dtype)
     kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
               solver_max_iter=solver_max_iter)
-    if on_tpu:
+    backend = "soa"
+    if step:
+        # whole-control-step fused kernel (tile_rows fixed at 8: 4 violates
+        # the f32 (8, 128) reshape tiling, 16 overflows VMEM on v5e)
+        from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (
+            build_fused_i2lqr_step)
+        kw["pallas_step_solver"] = build_fused_i2lqr_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=max_steps, max_laps=8, max_iter=solver_max_iter,
+            tile_rows=8)
+        backend = "pallas_step"
+    elif on_tpu:
         kw["pallas_solver"] = build_fused_ilqr(
             params, limits, 1.0, num_horizon=params.num_horizon,
             max_iter=solver_max_iter, tile_rows=tile_rows, with_skip=dedup)
         kw["dedup_passes"] = dedup
+        backend = "pallas"
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     out = simulate_learning_runs_soa(params, limits, scenarios, seed_xs,
@@ -70,7 +83,7 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
                                     axis=-1)]
     print(json.dumps({
         "batch": batch, "tile_rows": tile_rows, "cap": solver_max_iter,
-        "dedup": dedup,
+        "dedup": dedup, "solver_backend": backend,
         "lap_sims_per_s": round(rate, 1),
         "seconds": round(dt_s, 2), "compile_s": round(compile_s, 1),
         "completion": round(done, 4),
@@ -79,7 +92,7 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
 
 def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
               noise_on: bool = True, pallas: bool = False,
-              tile_rows: int = 64):
+              tile_rows: int = 64, step: bool = False):
     from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
     from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
         simulate_nlmpc_runs_soa)
@@ -101,12 +114,22 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
                                        noise_on=noise_on, dtype=dtype)
     kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
               max_lm_iters=max_lm_iters)
-    if pallas:
+    backend = "soa"
+    if step:
+        from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
+            build_fused_nlmpc_step)
+        kw["pallas_step_solver"] = build_fused_nlmpc_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=max_steps, max_laps=8, max_iters=max_lm_iters,
+            tile_rows=8)
+        backend = "pallas_step"
+    elif pallas:
         from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
             build_fused_lm_shooting)
         kw["pallas_solver"] = build_fused_lm_shooting(
             limits, 1.0, num_horizon=params.num_horizon,
             max_iters=max_lm_iters, tile_rows=tile_rows)
+        backend = "pallas"
     t0 = time.time()
     out = simulate_nlmpc_runs_soa(params, limits, scenarios, seed_xs, seed_us,
                                   121, 1.0, jax.random.PRNGKey(0), **kw)
@@ -123,7 +146,7 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
                                     axis=-1)]
     print(json.dumps({
         "controller": "nlmpc", "batch": batch, "max_lm_iters": max_lm_iters,
-        "solver_backend": "pallas" if pallas else "soa",
+        "solver_backend": backend,
         "lap_sims_per_s": round(batch * num_laps / dt_s, 1),
         "seconds": round(dt_s, 2), "compile_s": round(compile_s, 1),
         "completion": round(done, 4),
@@ -137,20 +160,22 @@ if __name__ == "__main__":
     nlmpc = "--nlmpc" in argv
     pallas = "--pallas" in argv
     dedup = "--dedup" in argv
-    argv = [a for a in argv if a not in ("--nlmpc", "--pallas", "--dedup")]
+    step = "--step" in argv
+    argv = [a for a in argv
+            if a not in ("--nlmpc", "--pallas", "--dedup", "--step")]
     for arg in argv or (["8192"] if nlmpc else ["65536"]):
         if nlmpc:
             if ":" in arg:
                 parts = arg.split(":")
                 run_nlmpc(int(parts[0]), max_lm_iters=int(parts[1]),
-                          pallas=pallas,
+                          pallas=pallas, step=step,
                           tile_rows=int(parts[2]) if len(parts) > 2 else 64)
             else:
-                run_nlmpc(int(arg), pallas=pallas, tile_rows=64)
+                run_nlmpc(int(arg), pallas=pallas, step=step, tile_rows=64)
         elif ":" in arg:
             parts = arg.split(":")
             run(int(parts[0]), tile_rows=int(parts[1]),
                 solver_max_iter=int(parts[2]) if len(parts) > 2 else 40,
-                dedup=dedup)
+                dedup=dedup, step=step)
         else:
-            run(int(arg), dedup=dedup)
+            run(int(arg), dedup=dedup, step=step)

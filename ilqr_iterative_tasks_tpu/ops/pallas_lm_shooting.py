@@ -26,13 +26,14 @@ when enabled.
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+from ilqr_iterative_tasks_tpu.ops._pallas_nlmpc_core import (
+    bake_nlmpc_consts, make_nlmpc_tile_funcs)
 from ilqr_iterative_tasks_tpu.utils.params import SystemLimits
 
 # Default sublane-rows per program. The LM kernel carries more live VMEM
@@ -80,14 +81,9 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
     if n < 2:
         raise ValueError("horizon-1 is a pure reach check handled by the "
                          "controller (nonlinear_lmpc.py:199-213)")
-    m = n + 3
-    nvar = 2 * n
     tile = tile_rows * 128
-    dtf = float(dt)
-    a_max = float(np.asarray(limits.a_max))
-    d_max = float(np.asarray(limits.delta_max))  # raw bound, no rounding
-    sqrt_w = float(np.sqrt(w_obs))
-    margin = float(g_margin)
+    consts = bake_nlmpc_consts(limits, dt, w_obs=w_obs, g_margin=g_margin,
+                               term_tol=term_tol, viol_tol=viol_tol)
 
     def kernel(x0_ref, xt_ref, uw_ref, obs_ref, *rest):
         if with_skip:
@@ -96,240 +92,19 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
             skip_ref = None
             us_ref, xl_ref, te_ref, fe_ref = rest
         shp = (tile_rows, 128)
+        F = make_nlmpc_tile_funcs(consts, n, shp)
         x0c = tuple(x0_ref[i].reshape(shp) for i in range(4))
         xt = tuple(xt_ref[i].reshape(shp) for i in range(4))
-        ox = obs_ref[0].reshape(shp)
-        oy = obs_ref[1].reshape(shp)
-        inv_w2 = obs_ref[2].reshape(shp)
-        inv_h2 = obs_ref[3].reshape(shp)
-        spd_up = obs_ref[4].reshape(shp)
-        spd_left = obs_ref[5].reshape(shp)
-        present = obs_ref[6].reshape(shp)
-
-        def clip_a(z):
-            return jnp.clip(z, -a_max, a_max)
-
-        def clip_d(z):
-            return jnp.clip(z, -d_max, d_max)
-
-        def clip_grad(z, mx):
-            inside = (jnp.abs(z) < mx).astype(jnp.float32)
-            tie = (jnp.abs(z) == mx).astype(jnp.float32)
-            return inside + 0.5 * tie
-
-        def relu_grad(z):
-            pos = (z > 0).astype(jnp.float32)
-            tie = (z == 0).astype(jnp.float32)
-            return pos + 0.5 * tie
-
-        def step(x, ua, ud):
-            px, py, v, th = x
-            arc = v * dtf + 0.5 * ua * dtf * dtf
-            return (px + jnp.cos(th) * arc, py + jnp.sin(th) * arc,
-                    v + ua * dtf, th + ud * dtf)
-
-        def center_at(k):
-            return ox - spd_left * float(k), oy + spd_up * float(k)
-
-        def residual(uf):
-            """uf: list of nvar arrays -> (f, rows, xs)."""
-            us = [(clip_a(uf[2 * j]), clip_d(uf[2 * j + 1]))
-                  for j in range(n)]
-            xs = [x0c]
-            for j in range(n):
-                xs.append(step(xs[-1], us[j][0], us[j][1]))
-            rows = [xs[n][i] - xt[i] for i in range(4)]
-            for k in range(1, n):
-                cx, cy = center_at(k)
-                g = 1.0 - ((xs[k][0] - cx) ** 2 * inv_w2
-                           + (xs[k][1] - cy) ** 2 * inv_h2)
-                rows.append(sqrt_w * present * jnp.maximum(g + margin, 0.0))
-            f = rows[0] * rows[0]
-            for r in rows[1:]:
-                f = f + r * r
-            return f, rows, xs
-
-        def _is_zero(e):
-            return isinstance(e, float) and e == 0.0
-
-        def jacobian(uf, xs):
-            us_a = [clip_a(uf[2 * j]) for j in range(n)]
-            cos_t = [jnp.cos(xs[i][3]) for i in range(n)]
-            sin_t = [jnp.sin(xs[i][3]) for i in range(n)]
-            arc = [xs[i][2] * dtf + 0.5 * us_a[i] * dtf * dtf
-                   for i in range(n)]
-            zero = jnp.zeros(shp, jnp.float32)
-            cum0, cum1, cum2, cum3 = [zero, zero], [zero, zero], \
-                [zero, zero], [zero, zero]
-            for i in range(1, n):
-                cum0.append(cum0[-1] + cos_t[i] * dtf * dtf)
-                cum1.append(cum1[-1] + (-arc[i] * sin_t[i]) * dtf)
-                cum2.append(cum2[-1] + sin_t[i] * dtf * dtf)
-                cum3.append(cum3[-1] + arc[i] * cos_t[i] * dtf)
-            b00 = [0.5 * dtf * dtf * cos_t[j] for j in range(n)]
-            b10 = [0.5 * dtf * dtf * sin_t[j] for j in range(n)]
-            mask_a = [clip_grad(uf[2 * j], a_max) for j in range(n)]
-            mask_d = [clip_grad(uf[2 * j + 1], d_max) for j in range(n)]
-
-            def sens(k, j):
-                return (b00[j] + cum0[k] - cum0[j + 1],
-                        cum1[k] - cum1[j + 1],
-                        b10[j] + cum2[k] - cum2[j + 1],
-                        cum3[k] - cum3[j + 1])
-
-            jac = []
-            row_px, row_py, row_v, row_th = [], [], [], []
-            for j in range(n):
-                sa0, sd0, sa1, sd1 = sens(n, j)
-                row_px += [sa0 * mask_a[j], sd0 * mask_d[j]]
-                row_py += [sa1 * mask_a[j], sd1 * mask_d[j]]
-                row_v += [dtf * mask_a[j], 0.0]
-                row_th += [0.0, dtf * mask_d[j]]
-            jac += [row_px, row_py, row_v, row_th]
-            for k in range(1, n):
-                cx, cy = center_at(k)
-                g = 1.0 - ((xs[k][0] - cx) ** 2 * inv_w2
-                           + (xs[k][1] - cy) ** 2 * inv_h2)
-                gate = sqrt_w * present * relu_grad(g + margin)
-                gx = gate * (-2.0) * inv_w2 * (xs[k][0] - cx)
-                gy = gate * (-2.0) * inv_h2 * (xs[k][1] - cy)
-                row = []
-                for j in range(n):
-                    if j < k:
-                        sa0, sd0, sa1, sd1 = sens(k, j)
-                        row += [(gx * sa0 + gy * sa1) * mask_a[j],
-                                (gx * sd0 + gy * sd1) * mask_d[j]]
-                    else:
-                        row += [0.0, 0.0]
-                jac.append(row)
-            return jac
-
-        def lm_step(uf, rows, xs, lam):
-            jac = jacobian(uf, xs)
-            gram = [[None] * m for _ in range(m)]
-            for r in range(m):
-                for c in range(r + 1):
-                    acc = None
-                    for ea, eb in zip(jac[r], jac[c]):
-                        if _is_zero(ea) or _is_zero(eb):
-                            continue
-                        acc = ea * eb if acc is None else acc + ea * eb
-                    gram[r][c] = (jnp.zeros(shp, jnp.float32)
-                                  if acc is None else acc)
-            low = [[None] * m for _ in range(m)]
-            inv_diag = [None] * m
-            for c in range(m):
-                d = gram[c][c] + lam
-                for t in range(c):
-                    d = d - low[c][t] * low[c][t]
-                ld = jnp.sqrt(jnp.maximum(d, 1e-38))
-                low[c][c] = ld
-                inv_diag[c] = 1.0 / ld
-                for r in range(c + 1, m):
-                    v = gram[r][c]
-                    for t in range(c):
-                        v = v - low[r][t] * low[c][t]
-                    low[r][c] = v * inv_diag[c]
-            y = [None] * m
-            for r in range(m):
-                v = rows[r]
-                for t in range(r):
-                    v = v - low[r][t] * y[t]
-                y[r] = v * inv_diag[r]
-            z = [None] * m
-            for r in range(m - 1, -1, -1):
-                v = y[r]
-                for t in range(r + 1, m):
-                    v = v - low[t][r] * z[t]
-                z[r] = v * inv_diag[r]
-            du = []
-            for c in range(nvar):
-                acc = None
-                for r in range(m):
-                    e = jac[r][c]
-                    if _is_zero(e):
-                        continue
-                    acc = e * z[r] if acc is None else acc + e * z[r]
-                du.append(-(jnp.zeros(shp, jnp.float32)
-                            if acc is None else acc))
-            return du
-
-        alphas = (1.0, 0.5, 0.25, 0.1, 0.02)  # ops/lm_shooting.py:88
-
-        def cond(carry):
-            it, done_f = carry[0], carry[1]
-            return (it < max_iters) & (jnp.min(done_f) < 0.5)
-
-        def body(carry):
-            it, done_f, lam = carry[0], carry[1], carry[2]
-            uf = list(carry[3:])
-            done = done_f > 0.5
-            f0, rows, xs = residual(uf)
-            du = lm_step(uf, rows, xs, lam)
-            best_f = None
-            best_uf = None
-            for a in alphas:
-                cand = [uf[c] + a * du[c] for c in range(nvar)]
-                fc, _, _ = residual(cand)
-                if best_f is None:
-                    best_f, best_uf = fc, cand
-                else:
-                    better = fc < best_f
-                    best_uf = [jnp.where(better, cn, bn)
-                               for cn, bn in zip(cand, best_uf)]
-                    best_f = jnp.where(better, fc, best_f)
-            accept = best_f < f0
-            upd = accept & ~done
-            uf_next = tuple(jnp.where(upd, bn, un)
-                            for bn, un in zip(best_uf, uf))
-            lam_next = jnp.where(
-                done, lam, jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12),
-                                     lam * 4.0))
-            f_new = jnp.where(accept, best_f, f0)
-            stop = (f_new < 1e-14) | ((~accept) & (lam_next > 1e10))
-            done_next = jnp.maximum(done_f, stop.astype(jnp.float32))
-            return (it + 1, done_next, lam_next) + uf_next
+        obs = tuple(obs_ref[i].reshape(shp) for i in range(7))
 
         done_init = (skip_ref[...].reshape(shp) if with_skip
                      else jnp.zeros(shp, jnp.float32))
-
-        def solve_from(uf0):
-            init = ((jnp.asarray(0), done_init,
-                     jnp.full(shp, 1e-3, jnp.float32)) + tuple(uf0))
-            final = jax.lax.while_loop(cond, body, init)
-            uf = list(final[3:])
-            f, _, _ = residual(uf)
-            return uf, f
-
-        # start 0: clipped warm start; start 1: zeros (lm_shooting.py:120-123)
         warm = []
         for j in range(n):
-            warm.append(clip_a(uw_ref[j, 0].reshape(shp)))
-            warm.append(clip_d(uw_ref[j, 1].reshape(shp)))
-        uf_best, f_best = solve_from(warm)
-        for _ in range(1, num_starts):
-            zero_start = [jnp.zeros(shp, jnp.float32) for _ in range(nvar)]
-            uf_z, f_z = solve_from(zero_start)
-            better = f_z < f_best  # strict: warm wins ties (argmin-first)
-            uf_best = [jnp.where(better, a, b)
-                       for a, b in zip(uf_z, uf_best)]
-            f_best = jnp.where(better, f_z, f_best)
-
-        us = [(clip_a(uf_best[2 * j]), clip_d(uf_best[2 * j + 1]))
-              for j in range(n)]
-        xs = [x0c]
-        for j in range(n):
-            xs.append(step(xs[-1], us[j][0], us[j][1]))
-        d2 = sum((xs[n][i] - xt[i]) ** 2 for i in range(4))
-        term_err = jnp.sqrt(jnp.maximum(d2, 0.0))
-        viol = None
-        for k in range(1, n):
-            cx, cy = center_at(k)
-            g = present * (1.0 - ((xs[k][0] - cx) ** 2 * inv_w2
-                                  + (xs[k][1] - cy) ** 2 * inv_h2))
-            viol = g if viol is None else jnp.maximum(viol, g)
-        feasible = ((term_err <= term_tol) & (viol <= viol_tol)).astype(
-            jnp.float32)
+            warm.append(F.clip_a(uw_ref[j, 0].reshape(shp)))
+            warm.append(F.clip_d(uw_ref[j, 1].reshape(shp)))
+        us, xs, term_err, feasible = F.feasibility_solve(
+            x0c, xt, obs, warm, done_init, max_iters, num_starts)
         for j in range(n):
             us_ref[j, 0] = us[j][0].reshape(tile)
             us_ref[j, 1] = us[j][1].reshape(tile)

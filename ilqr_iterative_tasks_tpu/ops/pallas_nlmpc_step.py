@@ -1,0 +1,274 @@
+"""Fused Pallas TPU kernel for the ENTIRE NLMPC control step.
+
+NLMPC counterpart of ops/pallas_i2lqr_step.py: one whole calc_input
+(reference iterative_ilqr/utils/base.py:557-655) per scenario lane —
+
+    for each of the last num_ss_iter laps:
+        L1-kNN of the terminal guess in the stored states (base.py:548-555)
+        extract the k candidate terminal states + Qfun
+    solve all nsi*k candidates by projected LM shooting   (base.py:583-595)
+    cost N + Qfun if feasible else Inf                    (nonlinear_lmpc.py:197)
+    lexicographic row-min + argmin selection              (base.py:605-611)
+    terminal guess -> successor safe-set point            (base.py:621-622)
+
+— fused into a single VMEM-resident kernel per tile of ``tile_rows * 128``
+lanes. Safe-set lap slices stream from HBM via scalar-prefetch block indices;
+candidates are solved sequentially by ONE multi-start LM while_loop instance
+inside a fori_loop (per-lane lockstep-invariant, bitwise-neutral vs the
+per-candidate kernel — validated in tests/test_pallas_nlmpc_step.py).
+Skip lanes enter every LM loop pre-done; all-skip tiles bypass the body.
+
+Outputs: the selected input sequence us (n, 2, B) (the caller applies us[0]
+and shifts the rest into the warm start, base.py:619-639), feasible_any
+(B,) f32, and the advanced terminal guess (4, B).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ilqr_iterative_tasks_tpu.ops._pallas_nlmpc_core import (
+    bake_nlmpc_consts, make_nlmpc_tile_funcs)
+from ilqr_iterative_tasks_tpu.utils.params import LmpcParams, SystemLimits
+
+
+def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
+                           *, num_horizon: int, max_steps: int,
+                           max_laps: int, max_iters: int = 60,
+                           num_starts: int = 2, tile_rows: int = 8,
+                           interpret: bool = False):
+    """Factory: returns
+    fn(x (4,B), guess (4,B), u_warm (n,2,B), states (max_laps,T,4,B),
+       qfun (max_laps,T,B), lap_len (max_laps,B) i32, lap_ids (nsi,) i32
+       [pre-clipped], lap_ok (nsi,) i32, obs (7,B), skip (B,) f32)
+    -> (us (n,2,B), feasible_any (B,) f32, new_guess (4,B)).
+
+    B must be a multiple of tile_rows*128.
+    """
+    tile = tile_rows * 128
+    n = num_horizon
+    if n < 2:
+        raise ValueError("horizon-1 is a pure reach check handled by the "
+                         "controller (nonlinear_lmpc.py:199-213)")
+    k = int(params.num_ss_points)
+    nsi = int(params.num_ss_iter)
+    t_rows = max_steps
+    consts = bake_nlmpc_consts(limits, dt)
+    shp = (tile_rows, 128)
+    nc = nsi * k
+
+    def kernel(s_ref, *refs):
+        st_refs = refs[0:nsi]
+        qf_refs = refs[nsi:2 * nsi]
+        ll_ref = refs[2 * nsi]
+        x_ref, g_ref, uw_ref, obs_ref, skip_ref = refs[2 * nsi + 1:
+                                                       2 * nsi + 6]
+        us_ref, fe_ref, ng_ref = refs[2 * nsi + 6:2 * nsi + 9]
+        (cand_xt, cand_q, cand_ok, cand_idx,
+         sol_us, cost_sc) = refs[2 * nsi + 9:]
+
+        F = make_nlmpc_tile_funcs(consts, n, shp)
+        skip_f = skip_ref[...].reshape(shp)
+        us_ref[...] = jnp.zeros((n, 2, tile), jnp.float32)
+        fe_ref[...] = jnp.zeros((tile,), jnp.float32)
+        ng_ref[...] = jnp.zeros((4, tile), jnp.float32)
+
+        @pl.when(jnp.max(1.0 - skip_f) > 0.5)
+        def _():
+            x0c = tuple(x_ref[i].reshape(shp) for i in range(4))
+            gg = [g_ref[i].reshape(tile) for i in range(4)]
+            obs = tuple(obs_ref[i].reshape(shp) for i in range(7))
+            t_iota = jax.lax.broadcasted_iota(jnp.int32, (t_rows, tile), 0)
+            inf = jnp.float32(jnp.inf)
+            warm = []
+            for j in range(n):
+                warm.append(F.clip_a(uw_ref[j, 0].reshape(shp)))
+                warm.append(F.clip_d(uw_ref[j, 1].reshape(shp)))
+
+            # --- kNN + candidate extraction per safe-set lap ---
+            for off in range(nsi):
+                st = [st_refs[off][0, :, c, :] for c in range(4)]  # (T, tile)
+                qf = qf_refs[off][0]  # (T, tile)
+                ll = ll_ref[s_ref[off]]  # (tile,) i32
+                lap_ok = s_ref[nsi + off] > 0
+                dist = (jnp.abs(st[0] - gg[0][None, :])
+                        + jnp.abs(st[1] - gg[1][None, :])
+                        + jnp.abs(st[2] - gg[2][None, :])
+                        + jnp.abs(st[3] - gg[3][None, :]))
+                valid = (t_iota < ll[None, :]) & lap_ok
+                d = jnp.where(valid, dist, inf)
+                for kk in range(k):
+                    dmin = jnp.min(d, axis=0)
+                    # first-min index == jnp.argmin (matches _topk_select)
+                    j = jnp.min(jnp.where(d == dmin[None, :], t_iota, t_rows),
+                                axis=0)
+                    m = t_iota == j[None, :]
+                    ci = off * k + kk
+                    for c in range(4):
+                        cand_xt[ci, c] = jnp.sum(
+                            jnp.where(m, st[c], 0.0), axis=0)
+                    cand_q[ci] = jnp.sum(jnp.where(m, qf, 0.0), axis=0)
+                    cand_idx[ci] = j
+                    cand_ok[ci] = jnp.isfinite(dmin).astype(jnp.float32)
+                    d = jnp.where(m, inf, d)
+
+            # --- solve all candidates (one while_loop instance) ---
+            def solve_ci(ci, _):
+                xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
+                us, _xs, _te, feasible = F.feasibility_solve(
+                    x0c, xt, obs, warm, skip_f, max_iters, num_starts)
+                for i in range(n):
+                    sol_us[ci, i, 0] = us[i][0].reshape(tile)
+                    sol_us[ci, i, 1] = us[i][1].reshape(tile)
+                q = cand_q[ci].reshape(shp)
+                okc = cand_ok[ci].reshape(shp) > 0.5
+                cost = jnp.where((feasible > 0.5) & okc,
+                                 float(n) + q, inf)
+                cost_sc[ci] = cost.reshape(tile)
+                return 0
+
+            jax.lax.fori_loop(0, nc, solve_ci, 0)
+
+            # --- lexicographic row-min + argmin over k (base.py:605-611) ---
+            rows = [[cost_sc[off * k + kk].reshape(shp)
+                     for kk in range(k)] for off in range(nsi)]
+            best_row = jnp.zeros(shp, jnp.int32)
+            for i in range(1, nsi):
+                brow = [jnp.zeros(shp, jnp.float32) for _ in range(k)]
+                for off in range(nsi):
+                    sel = best_row == off
+                    for kk in range(k):
+                        brow[kk] = jnp.where(sel, rows[off][kk], brow[kk])
+                any_diff = jnp.zeros(shp, bool)
+                a_first = jnp.zeros(shp, jnp.float32)
+                b_first = jnp.zeros(shp, jnp.float32)
+                for kk in range(k - 1, -1, -1):
+                    diff = rows[i][kk] != brow[kk]
+                    any_diff = any_diff | diff
+                    a_first = jnp.where(diff, rows[i][kk], a_first)
+                    b_first = jnp.where(diff, brow[kk], b_first)
+                less = jnp.where(any_diff, a_first < b_first, False)
+                best_row = jnp.where(less, i, best_row)
+            best_col = jnp.zeros(shp, jnp.int32)
+            best_cost = jnp.full(shp, inf)
+            for kk in range(k):
+                rck = jnp.zeros(shp, jnp.float32)
+                for off in range(nsi):
+                    rck = jnp.where(best_row == off, rows[off][kk], rck)
+                better = rck < best_cost
+                best_cost = jnp.where(better, rck, best_cost)
+                best_col = jnp.where(better, kk, best_col)
+            ci_sel = best_row * k + best_col
+            us_sel = [jnp.zeros(shp, jnp.float32) for _ in range(2 * n)]
+            idx_sel = jnp.zeros(shp, jnp.int32)
+            len_sel = jnp.zeros(shp, jnp.int32)
+            for ci in range(nc):
+                sel = ci_sel == ci
+                for i in range(n):
+                    us_sel[2 * i] = jnp.where(
+                        sel, sol_us[ci, i, 0].reshape(shp), us_sel[2 * i])
+                    us_sel[2 * i + 1] = jnp.where(
+                        sel, sol_us[ci, i, 1].reshape(shp),
+                        us_sel[2 * i + 1])
+                idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp), idx_sel)
+            for off in range(nsi):
+                len_sel = jnp.where(best_row == off,
+                                    ll_ref[s_ref[off]].reshape(shp), len_sel)
+            feasible_any = jnp.isfinite(best_cost).astype(jnp.float32)
+
+            # --- terminal guess -> successor safe-set point of the chosen
+            # lap (base.py:621-622): one-hot row extraction per lap ---
+            nxt = jnp.clip(idx_sel + 1, 0, len_sel - 1)  # (shp) i32
+            nxt_flat = nxt.reshape(tile)
+            new_guess = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
+            for off in range(nsi):
+                st = [st_refs[off][0, :, c, :] for c in range(4)]
+                t_iota2 = jax.lax.broadcasted_iota(jnp.int32, (t_rows, tile),
+                                                   0)
+                m = t_iota2 == nxt_flat[None, :]
+                sel_off = best_row == off
+                for c in range(4):
+                    val = jnp.sum(jnp.where(m, st[c], 0.0),
+                                  axis=0).reshape(shp)
+                    new_guess[c] = jnp.where(sel_off, val, new_guess[c])
+
+            for i in range(n):
+                us_ref[i, 0] = us_sel[2 * i].reshape(tile)
+                us_ref[i, 1] = us_sel[2 * i + 1].reshape(tile)
+            fe_ref[...] = feasible_any.reshape(tile)
+            for c in range(4):
+                ng_ref[c] = new_guess[c].reshape(tile)
+
+    def solve(x, guess, u_warm, states, qfun, lap_len, lap_ids, lap_ok,
+              obs_lanes, skip):
+        b = x.shape[-1]
+        assert b % tile == 0, f"batch {b} must be a multiple of {tile}"
+        grid = (b // tile,)
+        sargs = jnp.concatenate([lap_ids.astype(jnp.int32),
+                                 lap_ok.astype(jnp.int32)])
+
+        def st_map(off):
+            return lambda i, s: (s[off], 0, 0, i)
+
+        def qf_map(off):
+            return lambda i, s: (s[off], 0, i)
+
+        in_specs = (
+            [pl.BlockSpec((1, t_rows, 4, tile), st_map(off))
+             for off in range(nsi)]
+            + [pl.BlockSpec((1, t_rows, tile), qf_map(off))
+               for off in range(nsi)]
+            + [pl.BlockSpec((max_laps, tile), lambda i, s: (0, i)),
+               pl.BlockSpec((4, tile), lambda i, s: (0, i)),
+               pl.BlockSpec((4, tile), lambda i, s: (0, i)),
+               pl.BlockSpec((n, 2, tile), lambda i, s: (0, 0, i)),
+               pl.BlockSpec((7, tile), lambda i, s: (0, i)),
+               pl.BlockSpec((tile,), lambda i, s: (i,))])
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((n, 2, tile), lambda i, s: (0, 0, i)),
+                pl.BlockSpec((tile,), lambda i, s: (i,)),
+                pl.BlockSpec((4, tile), lambda i, s: (0, i)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nc, 4, tile), jnp.float32),     # cand_xt
+                pltpu.VMEM((nc, tile), jnp.float32),        # cand_q
+                pltpu.VMEM((nc, tile), jnp.float32),        # cand_ok
+                pltpu.VMEM((nc, tile), jnp.int32),          # cand_idx
+                pltpu.VMEM((nc, n, 2, tile), jnp.float32),  # sol_us
+                pltpu.VMEM((nc, tile), jnp.float32),        # cost_sc
+            ],
+        )
+        args = [sargs] + [states] * nsi + [qfun] * nsi \
+            + [lap_len, x, guess, u_warm, obs_lanes, skip]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n, 2, b), jnp.float32),
+                jax.ShapeDtypeStruct((b,), jnp.float32),
+                jax.ShapeDtypeStruct((4, b), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*args)
+
+    solve_jit = jax.jit(solve)
+
+    def solve_api(x, guess, u_warm, states, qfun, lap_len, lap_ids, lap_ok,
+                  obs_lanes, skip):
+        return solve_jit(x, guess, u_warm, states, qfun, lap_len, lap_ids,
+                         lap_ok, obs_lanes, skip)
+
+    solve_api.tile = tile
+    solve_api.nsi = nsi
+    solve_api.k = k
+    solve_api.num_horizon = n
+    solve_api.max_steps = max_steps
+    solve_api.max_laps = max_laps
+    return solve_api

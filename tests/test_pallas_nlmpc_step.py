@@ -1,0 +1,93 @@
+"""Whole-control-step fused NLMPC kernel (ops/pallas_nlmpc_step.py) vs the
+composed path (per-candidate fused LM-shooting kernel + XLA kNN/selection
+glue). Same bitwise-equality argument as tests/test_pallas_i2lqr_step.py:
+lockstep-invariant per-lane solves + op-for-op mirrored glue math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
+    simulate_nlmpc_runs_soa)
+from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
+from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
+    build_fused_lm_shooting)
+from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
+    build_fused_nlmpc_step)
+from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+from ilqr_iterative_tasks_tpu.utils.params import LmpcParams, SystemLimits
+
+DT = jnp.float32
+
+
+def _setup(dtype=DT, **overrides):
+    params = LmpcParams.make(ss_option="spaceVarying")
+    if overrides:
+        params = params.replace(**overrides)
+    limits = SystemLimits.make(dtype=dtype)
+    xcl, ucl = seed_trajectory(1.0)
+    max_steps = 128
+    seed_xs = jnp.zeros((max_steps, 4), dtype).at[:121].set(
+        jnp.asarray(xcl, dtype))
+    seed_us = jnp.zeros((max_steps, 2), dtype).at[:120].set(
+        jnp.asarray(ucl, dtype))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
+    return params, limits, seed_xs, seed_us, xcl, obstacle
+
+
+def _run_both(params, limits, seed_xs, seed_us, xcl, obstacle, b, num_laps,
+              cap, tile_rows):
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
+                                 noise_on=True, dtype=DT)
+    # 70-step budget (vs the reference 121): every NLMPC lap completes well
+    # under it; both paths get the same budget so the comparison holds.
+    kw = dict(num_laps=num_laps, max_steps=128, max_laps=8,
+              max_lm_iters=cap, sim_step_budget=70)
+    key = jax.random.PRNGKey(5)
+    composed_solver = build_fused_lm_shooting(
+        limits, 1.0, num_horizon=params.num_horizon, max_iters=cap,
+        tile_rows=1, interpret=True)
+    composed = simulate_nlmpc_runs_soa(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+        pallas_solver=composed_solver, **kw)
+    step_solver = build_fused_nlmpc_step(
+        params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
+        max_laps=8, max_iters=cap, tile_rows=tile_rows, interpret=True)
+    fused = simulate_nlmpc_runs_soa(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+        pallas_step_solver=step_solver, **kw)
+    return composed, fused
+
+
+def _assert_bitwise(composed, fused):
+    np.testing.assert_array_equal(np.asarray(composed.lap_steps),
+                                  np.asarray(fused.lap_steps))
+    np.testing.assert_array_equal(np.asarray(composed.lap_done),
+                                  np.asarray(fused.lap_done))
+    for a, c in zip(composed.safe_set, fused.safe_set):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+@pytest.mark.slow
+def test_nlmpc_step_kernel_bitwise_vs_composed():
+    """One kernel tile, default params (k=8, nsi=1), noise on: the fused
+    NLMPC step (kNN on the terminal guess + warm-started feasibility solves
+    + selection + successor-guess advance in-kernel) must reproduce the
+    composed path bitwise across a full learning run."""
+    setup = _setup()
+    composed, fused = _run_both(*setup, b=128, num_laps=2, cap=12,
+                                tile_rows=1)
+    _assert_bitwise(composed, fused)
+
+
+@pytest.mark.slow
+def test_nlmpc_step_kernel_two_tiles_nsi2_bitwise():
+    """Two kernel tiles and num_ss_iter=2: scalar-prefetch lap indexing with
+    a not-yet-valid history row and in-kernel lexicographic row selection."""
+    setup = _setup(num_ss_iter=2)
+    composed, fused = _run_both(*setup, b=256, num_laps=2, cap=12,
+                                tile_rows=1)
+    _assert_bitwise(composed, fused)
