@@ -69,9 +69,12 @@ def main():
         # XLA glue (which was ~80% scalar-core gathers / top-k sweeps).
         from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (
             build_fused_i2lqr_step)
+        # dedup=True: in-kernel cross-pass candidate dedup, bitwise-neutral
+        # (+23% measured: 62.7k vs 50.9k lap-sims/s)
         kw["pallas_step_solver"] = build_fused_i2lqr_step(
             params, limits, 1.0, num_horizon=params.num_horizon,
-            max_steps=max_steps, max_laps=8, max_iter=16, tile_rows=8)
+            max_steps=max_steps, max_laps=8, max_iter=16, tile_rows=8,
+            dedup=True)
         solver_backend = "pallas_step"
 
     def run(seed):

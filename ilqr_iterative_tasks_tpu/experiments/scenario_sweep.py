@@ -64,7 +64,16 @@ def run_sweep(batch: int, num_laps: int, moving: bool = False,
               solver_max_iter=solver_max_iter)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and (params.num_ss_points * batch) % (64 * 128) == 0:
+    if use_pallas and batch % (8 * 128) == 0:
+        # whole-step fused kernel: per-lane obstacle parameters ride as
+        # kernel inputs, so heterogeneous randomized scenarios are free
+        from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (
+            build_fused_i2lqr_step)
+        kw["pallas_step_solver"] = build_fused_i2lqr_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=max_steps, max_laps=8, max_iter=solver_max_iter,
+            tile_rows=8)
+    elif use_pallas and (params.num_ss_points * batch) % (64 * 128) == 0:
         from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import build_fused_ilqr
         kw["pallas_solver"] = build_fused_ilqr(
             params, limits, 1.0, num_horizon=params.num_horizon,

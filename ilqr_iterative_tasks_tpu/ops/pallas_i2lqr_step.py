@@ -53,7 +53,8 @@ from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
 def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                            *, num_horizon: int, max_steps: int,
                            max_laps: int, max_iter: int = 150,
-                           tile_rows: int = 8, interpret: bool = False):
+                           tile_rows: int = 8, dedup: bool = False,
+                           interpret: bool = False):
     """Factory: returns
     fn(x (4,B), states (max_laps,T,4,B), qfun (max_laps,T,B),
        lap_len (max_laps,B) i32, lap_ids (nsi,) i32 [pre-clipped],
@@ -64,6 +65,18 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     3-pass relaxation schedule and thresholds) are baked as constants.
     B must be a multiple of tile_rows*128. ``skip`` lanes return the zero
     rollout (callers discard them); an all-skip tile exits after its DMAs.
+
+    ``dedup``: cross-pass candidate dedup. A candidate re-selected from the
+    same safe-set row in a later relaxation pass is the SAME pure solve
+    (x0 / zeros-init / obstacle / extracted x_term are pass-invariant within
+    a control step) — passes 2/3 substitute the cached pass-1/2 result and
+    those lanes enter the LM loop pre-done, so a tile whose lanes all hit
+    the cache for a candidate exits at iteration zero. Bitwise-neutral by
+    construction (cache substitution is exact; done lanes are lockstep-
+    invariant) — validated in tests/test_pallas_i2lqr_step.py. Unlike the
+    XLA-glue dedup of control/batched_soa.py (measured NEGATIVE: scalar-core
+    cache gathers + lane compaction outweighed the savings), the in-kernel
+    match/substitute is a few VMEM selects per candidate.
     """
     tile = tile_rows * 128
     n = num_horizon
@@ -89,7 +102,10 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
         x_ref, obs_ref, skip_ref = refs[2 * nsi + 1:2 * nsi + 4]
         us_ref, shrink_ref = refs[2 * nsi + 4:2 * nsi + 6]
         (cand_xt, cand_q, cand_ok, cand_idx,
-         sol_us, sol_xl, cost_sc) = refs[2 * nsi + 6:]
+         sol_us, sol_xl, cost_sc) = refs[2 * nsi + 6:2 * nsi + 13]
+        if dedup:
+            (cache_idx, cache_ok, cache_us, cache_xl,
+             cache_d) = refs[2 * nsi + 13:]
 
         F = make_tile_funcs(consts, n, shp)
         skip_f = skip_ref[...].reshape(shp)
@@ -147,22 +163,95 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
 
                 def solve_ci(ci, _):
                     xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
+                    okc = cand_ok[ci].reshape(shp) > 0.5
+                    if dedup:
+                        # cross-pass cache match within the same ss-lap row
+                        # (mirrors the XLA dedup of batched_soa.py: first
+                        # matching entry wins, fresh candidate must itself
+                        # be selectable); matched lanes enter the LM loop
+                        # pre-done and take the cached result verbatim.
+                        my_idx = cand_idx[ci]  # (tile,) i32
+                        okf = cand_ok[ci] > 0.5  # (tile,)
+                        off_base = (ci // k) * k
+                        # dup carried as f32 0/1 (Mosaic cannot reshape a
+                        # 1D i1 vector to (rows, 128))
+                        dup = jnp.zeros((tile,), jnp.float32)
+                        sub_us = [jnp.zeros((tile,), jnp.float32)
+                                  for _ in range(2 * n)]
+                        sub_xl = [jnp.zeros((tile,), jnp.float32)
+                                  for _ in range(4)]
+                        sub_d = jnp.zeros((tile,), jnp.float32)
+                        for pp in range(2):
+                            for kk2 in range(k):
+                                e = pp * nc + off_base + kk2
+                                m = ((my_idx == cache_idx[e])
+                                     & (cache_ok[e] > 0.5) & okf
+                                     & (pp < p_idx))
+                                take = m & (dup < 0.5)
+                                for i in range(n):
+                                    sub_us[2 * i] = jnp.where(
+                                        take, cache_us[e, i, 0],
+                                        sub_us[2 * i])
+                                    sub_us[2 * i + 1] = jnp.where(
+                                        take, cache_us[e, i, 1],
+                                        sub_us[2 * i + 1])
+                                for c in range(4):
+                                    sub_xl[c] = jnp.where(
+                                        take, cache_xl[e, c], sub_xl[c])
+                                sub_d = jnp.where(take, cache_d[e], sub_d)
+                                dup = jnp.maximum(
+                                    dup, m.astype(jnp.float32))
+                        dup_f = dup.reshape(shp)
+                        dup2 = dup_f > 0.5
+                        done0 = jnp.maximum(skip_f, dup_f)
+                    else:
+                        done0 = skip_f
                     us, xs, _cost, dist = F.lm_solve(
-                        x0c, xt, obs, zeros_ui, skip_f, max_iter)
+                        x0c, xt, obs, zeros_ui, done0, max_iter)
+                    if dedup:
+                        us_m = []
+                        for i in range(n):
+                            us_m.append(jnp.where(
+                                dup2, sub_us[2 * i].reshape(shp), us[i][0]))
+                            us_m.append(jnp.where(
+                                dup2, sub_us[2 * i + 1].reshape(shp),
+                                us[i][1]))
+                        xl_m = [jnp.where(dup2, sub_xl[c].reshape(shp),
+                                          xs[n][c]) for c in range(4)]
+                        dist = jnp.where(dup2, sub_d.reshape(shp), dist)
+                    else:
+                        us_m = []
+                        for i in range(n):
+                            us_m.append(us[i][0])
+                            us_m.append(us[i][1])
+                        xl_m = [xs[n][c] for c in range(4)]
                     for i in range(n):
-                        sol_us[ci, i, 0] = us[i][0].reshape(tile)
-                        sol_us[ci, i, 1] = us[i][1].reshape(tile)
+                        sol_us[ci, i, 0] = us_m[2 * i].reshape(tile)
+                        sol_us[ci, i, 1] = us_m[2 * i + 1].reshape(tile)
                     for c in range(4):
-                        sol_xl[ci, c] = xs[n][c].reshape(tile)
+                        sol_xl[ci, c] = xl_m[c].reshape(tile)
                     # relaxed reach cost (base.py:427-437)
                     q = cand_q[ci].reshape(shp)
-                    okc = cand_ok[ci].reshape(shp) > 0.5
                     i_rel = jnp.maximum(jnp.ceil(dist / unit - 1e-12), 1.0)
                     cost = jnp.where(
                         dist <= unit * consts.max_relax_iter,
                         q + float(n) + 100.0 * i_rel, inf)
                     cost = jnp.where(okc, cost, inf)
                     cost_sc[ci] = cost.reshape(tile)
+                    if dedup:
+                        # store the (post-substitution) result for reuse by
+                        # later passes; pass 3's results are never reused
+                        @pl.when(p_idx < 2)
+                        def _store():
+                            slot = p_idx * nc + ci
+                            cache_idx[slot] = my_idx
+                            cache_ok[slot] = cand_ok[ci]
+                            for i in range(n):
+                                cache_us[slot, i, 0] = sol_us[ci, i, 0]
+                                cache_us[slot, i, 1] = sol_us[ci, i, 1]
+                            for c in range(4):
+                                cache_xl[slot, c] = sol_xl[ci, c]
+                            cache_d[slot] = dist.reshape(tile)
                     return 0
 
                 jax.lax.fori_loop(0, nc, solve_ci, 0)
@@ -273,7 +362,13 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                 pltpu.VMEM((nc, n, 2, tile), jnp.float32),  # sol_us
                 pltpu.VMEM((nc, 4, tile), jnp.float32),   # sol_xl
                 pltpu.VMEM((nc, tile), jnp.float32),      # cost_sc
-            ],
+            ] + ([
+                pltpu.VMEM((2 * nc, tile), jnp.int32),    # cache_idx
+                pltpu.VMEM((2 * nc, tile), jnp.float32),  # cache_ok
+                pltpu.VMEM((2 * nc, n, 2, tile), jnp.float32),  # cache_us
+                pltpu.VMEM((2 * nc, 4, tile), jnp.float32),  # cache_xl
+                pltpu.VMEM((2 * nc, tile), jnp.float32),  # cache_d
+            ] if dedup else []),
         )
         args = [sargs] + [states] * nsi + [qfun] * nsi \
             + [lap_len, x, obs_lanes, skip]
@@ -299,4 +394,5 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     solve_api.num_horizon = n
     solve_api.max_steps = max_steps
     solve_api.max_laps = max_laps
+    solve_api.dedup = dedup
     return solve_api

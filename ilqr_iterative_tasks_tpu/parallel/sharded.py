@@ -186,3 +186,28 @@ def dryrun(n_devices: int) -> None:
         max_laps=4, sim_step_budget=4, max_lm_iters=8)
     jax.block_until_ready(res_n)
     assert res_n.lap_steps.shape == (1, b)
+
+    # --- 4) shard_map-wrapped sim with the whole-step Pallas kernel ---
+    # (a pallas_call has no GSPMD partitioning rule; the production
+    # multi-chip path for the step-kernel backends is shard_map —
+    # interpret=True runs the same program on the CPU mesh)
+    from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (
+        build_fused_i2lqr_step)
+    from ilqr_iterative_tasks_tpu.parallel.sharded_soa import (
+        simulate_learning_runs_soa_shardmap)
+
+    tile = 128  # tile_rows=1 (interpret mode is not bound by hw tiling)
+    b_sm = tile * n_devices
+    sm_sc = SoaScenarios.broadcast(np.zeros(4), goal, obstacle, b_sm,
+                                   dtype=dtype)
+    step_solver = build_fused_i2lqr_step(
+        params, limits, 1.0, num_horizon=params.num_horizon,
+        max_steps=max_steps, max_laps=4, max_iter=8, tile_rows=1,
+        interpret=True)
+    res_sm = simulate_learning_runs_soa_shardmap(
+        params, limits, sm_sc, seed_xs, seed_us, 9, 1.0,
+        jax.random.PRNGKey(3), mesh, num_laps=1, max_steps=max_steps,
+        max_laps=4, sim_step_budget=4, solver_max_iter=8,
+        pallas_step_solver=step_solver)
+    jax.block_until_ready(res_sm)
+    assert res_sm.lap_steps.shape == (1, b_sm)

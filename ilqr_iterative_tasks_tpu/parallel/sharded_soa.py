@@ -17,6 +17,7 @@ compiled program from the input shardings.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ilqr_iterative_tasks_tpu.control.batched_soa import (
@@ -51,3 +52,67 @@ def simulate_nlmpc_runs_soa_sharded(params, limits, scenarios, seed_xs,
     scenarios = shard_soa_scenarios(scenarios, mesh)
     return simulate_nlmpc_runs_soa(params, limits, scenarios, seed_xs,
                                    seed_us, seed_len, dt, key, **kw)
+
+
+def _shardmap_sim(sim_fn, params, limits, scenarios, seed_xs, seed_us,
+                  seed_len, dt, key, mesh: Mesh, axis: str, kw):
+    if kw.get("resume_from") is not None:
+        raise NotImplementedError(
+            "resume_from under the shard_map wrapper: resume the per-shard "
+            "runs individually (per-shard PRNG keys are folded in)")
+
+    def local(scen):
+        i = jax.lax.axis_index(axis)
+        # independent per-shard noise stream; deterministic in (key, shard)
+        k_local = jax.random.fold_in(key, i)
+        res = sim_fn(params, limits, scen, seed_xs, seed_us, seed_len, dt,
+                     k_local, **kw)
+        # lap_count is shard-invariant; final_key differs per shard — drop it
+        # (it is only meaningful for exact resume, unsupported here)
+        return res._replace(final_key=jnp.zeros((2,), jnp.uint32))
+
+    trailing = lambda x: P(*([None] * (x.ndim - 1) + [axis]))
+    in_specs = (jax.tree_util.tree_map(trailing, scenarios),)
+
+    # trailing-axis out_specs from the output structure; scalars and the
+    # dropped final_key stay replicated
+    def out_spec_of(x):
+        if x.ndim == 0 or x.shape == (2,):
+            return P()
+        return trailing(x)
+
+    out_shapes = jax.eval_shape(
+        lambda scen: sim_fn(params, limits, scen, seed_xs, seed_us, seed_len,
+                            dt, key, **kw)._replace(
+                                final_key=jnp.zeros((2,), jnp.uint32)),
+        scenarios)
+    out_specs = jax.tree_util.tree_map(out_spec_of, out_shapes)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    return fn(scenarios)
+
+
+def simulate_learning_runs_soa_shardmap(params, limits, scenarios, seed_xs,
+                                        seed_us, seed_len, dt, key,
+                                        mesh: Mesh, axis: str = "scenario",
+                                        **kw):
+    """shard_map i2LQR learning runs — required for the Pallas step-kernel
+    backends (a pallas_call has no GSPMD partitioning rule, so plain-jit
+    trailing-axis sharding cannot split it; shard_map runs the whole sim
+    per shard, all lane-local). Per-shard PRNG = fold_in(key, shard index),
+    so results equal running each shard separately with its folded key
+    (validated bitwise in tests/test_sharded_soa.py). ``final_key`` is
+    zeroed (exact resume is per-shard, not supported through this wrapper).
+    """
+    return _shardmap_sim(simulate_learning_runs_soa, params, limits,
+                         scenarios, seed_xs, seed_us, seed_len, dt, key,
+                         mesh, axis, kw)
+
+
+def simulate_nlmpc_runs_soa_shardmap(params, limits, scenarios, seed_xs,
+                                     seed_us, seed_len, dt, key,
+                                     mesh: Mesh, axis: str = "scenario",
+                                     **kw):
+    """shard_map NLMPC learning runs (see simulate_learning_runs_soa_shardmap)."""
+    return _shardmap_sim(simulate_nlmpc_runs_soa, params, limits, scenarios,
+                         seed_xs, seed_us, seed_len, dt, key, mesh, axis, kw)

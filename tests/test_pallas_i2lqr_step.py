@@ -95,3 +95,27 @@ def test_step_kernel_two_tiles_nsi2_bitwise():
     composed, fused = _run_both(*setup, b=256, num_laps=2, cap=12,
                                 tile_rows=1)
     _assert_bitwise(composed, fused)
+
+
+@pytest.mark.slow
+def test_step_kernel_dedup_bitwise_neutral():
+    """In-kernel cross-pass candidate dedup (cache substitution + pre-done
+    lanes) must be bitwise-neutral vs the non-dedup step kernel: the cached
+    result IS the identical pure solve, and done lanes are lockstep-
+    invariant."""
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 128,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=12,
+              sim_step_budget=70)
+    key = jax.random.PRNGKey(9)
+    runs = []
+    for dd in (False, True):
+        solver = build_fused_i2lqr_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=8, max_iter=12, tile_rows=1,
+            dedup=dd, interpret=True)
+        runs.append(simulate_learning_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+            pallas_step_solver=solver, **kw))
+    _assert_bitwise(runs[0], runs[1])

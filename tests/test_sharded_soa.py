@@ -80,3 +80,48 @@ def test_nlmpc_soa_sharded_matches_unsharded():
                                          seed_us, 121, 1.0, key, mesh, **kw)
     np.testing.assert_array_equal(np.asarray(sh.lap_steps),
                                   np.asarray(ref.lap_steps))
+
+
+@pytest.mark.slow
+def test_i2lqr_shardmap_step_kernel_matches_per_shard():
+    """shard_map wrapper with the whole-step Pallas kernel (interpret):
+    the 2-device mesh run must equal running each shard separately with its
+    fold_in(key, shard) stream — bitwise (all math is lane-local)."""
+    from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (
+        build_fused_i2lqr_step)
+    from ilqr_iterative_tasks_tpu.parallel.sharded_soa import (
+        simulate_learning_runs_soa_shardmap)
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    mesh = make_mesh(2)
+    limits, seed_xs, seed_us, scs = _setup(256)
+    params = IlqrParams.make(dtype=DT)
+    solver = build_fused_i2lqr_step(
+        params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
+        max_laps=8, max_iter=10, tile_rows=1, interpret=True)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=10,
+              sim_step_budget=70, pallas_step_solver=solver)
+    key = jax.random.PRNGKey(11)
+    res = simulate_learning_runs_soa_shardmap(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0, key, mesh, **kw)
+
+    # per-shard oracle: slice the scenario batch by hand, fold the key
+    halves = []
+    for i in range(2):
+        scs_i = jax.tree_util.tree_map(
+            lambda a: a[..., i * 128:(i + 1) * 128], scs)
+        r = simulate_learning_runs_soa(
+            params, limits, scs_i, seed_xs, seed_us, 121, 1.0,
+            jax.random.fold_in(key, i), **kw)
+        halves.append(r)
+    want_steps = np.concatenate(
+        [np.asarray(h.lap_steps) for h in halves], axis=-1)
+    np.testing.assert_array_equal(np.asarray(res.lap_steps), want_steps)
+    want_done = np.concatenate(
+        [np.asarray(h.lap_done) for h in halves], axis=-1)
+    np.testing.assert_array_equal(np.asarray(res.lap_done), want_done)
+    for j in range(4):
+        want = np.concatenate(
+            [np.asarray(h.safe_set[j]) for h in halves], axis=-1)
+        np.testing.assert_array_equal(np.asarray(res.safe_set[j]), want)
