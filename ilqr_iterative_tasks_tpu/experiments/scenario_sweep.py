@@ -64,7 +64,11 @@ def run_sweep(batch: int, num_laps: int, moving: bool = False,
               solver_max_iter=solver_max_iter)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and batch % (8 * 128) == 0:
+    # the step kernel's VMEM scratch scales with nsi*k (candidate solutions
+    # + dedup cache) and its safe-set blocks with nsi — stay on the
+    # per-candidate kernel for enlarged-candidate configs (k=32 / nsi=4)
+    step_fits = num_ss_iter == 1 and num_ss_points <= 16
+    if use_pallas and step_fits and batch % (8 * 128) == 0:
         # whole-step fused kernel: per-lane obstacle parameters ride as
         # kernel inputs, so heterogeneous randomized scenarios are free
         from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (

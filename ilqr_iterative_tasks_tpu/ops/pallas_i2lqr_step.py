@@ -54,6 +54,8 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                            *, num_horizon: int, max_steps: int,
                            max_laps: int, max_iter: int = 150,
                            tile_rows: int = 8, dedup: bool = False,
+                           stream_safe_set: bool = False,
+                           store_solutions: bool = True,
                            interpret: bool = False):
     """Factory: returns
     fn(x (4,B), states (max_laps,T,4,B), qfun (max_laps,T,B),
@@ -77,6 +79,22 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     XLA-glue dedup of control/batched_soa.py (measured NEGATIVE: scalar-core
     cache gathers + lane compaction outweighed the savings), the in-kernel
     match/substitute is a few VMEM selects per candidate.
+
+    Enlarged-candidate configs (k=32 / nsi=4, BASELINE config 3) exceed VMEM
+    with the default double-buffered safe-set blocks and per-candidate
+    solution scratch. Two bitwise-neutral space/compute trades unlock them:
+
+    ``stream_safe_set``: the safe set and Qfun stay HBM-resident (ANY memory
+    space) and each (pass, lap) extraction DMAs its (T, 4, tile) slice into
+    ONE reused scratch buffer — VMEM cost is nsi-independent (~2.5 MB) at
+    ~2.5 MB of extra DMA per (pass, lap, tile), which the hardware absorbs.
+
+    ``store_solutions=False``: candidate solves write only their cost; after
+    selection the per-lane WINNER is re-solved once per pass (a pure
+    function of (x0, extracted x_term, zeros) — bitwise the same solution)
+    instead of storing all nc=nsi*k solution sequences (nc*(2n+4) lanes of
+    scratch). Costs ~1/nc extra solve work; the dedup cache then keeps only
+    idx/ok/d (no cached solutions are needed — a dup winner just re-solves).
     """
     tile = tile_rows * 128
     n = num_horizon
@@ -93,19 +111,32 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     def kernel(s_ref, *refs):
         # calling convention: scalar-prefetch ref, input refs, output refs,
         # scratch refs
-        st_refs = refs[0:nsi]
-        qf_refs = refs[nsi:2 * nsi]
+        it = iter(refs)
+        nxt = lambda: next(it)
+        if stream_safe_set:
+            st_hbm = nxt()  # (max_laps, T, 4, B) in HBM/ANY
+            qf_hbm = nxt()  # (max_laps, T, B) in HBM/ANY
+            lane0_ref = nxt()  # (tile,) i32: global lane index of lane 0
+            st_refs = qf_refs = None
+        else:
+            st_refs = [nxt() for _ in range(nsi)]
+            qf_refs = [nxt() for _ in range(nsi)]
         # lap_len rides as ONE (max_laps, tile) block (a (1, tile) block
         # would violate the TPU (8, 128) block-tiling rule) and is indexed
         # by the prefetched lap ids in-kernel.
-        ll_ref = refs[2 * nsi]
-        x_ref, obs_ref, skip_ref = refs[2 * nsi + 1:2 * nsi + 4]
-        us_ref, shrink_ref = refs[2 * nsi + 4:2 * nsi + 6]
-        (cand_xt, cand_q, cand_ok, cand_idx,
-         sol_us, sol_xl, cost_sc) = refs[2 * nsi + 6:2 * nsi + 13]
+        ll_ref = nxt()
+        x_ref, obs_ref, skip_ref = nxt(), nxt(), nxt()
+        us_ref, shrink_ref = nxt(), nxt()
+        cand_xt, cand_q, cand_ok, cand_idx = nxt(), nxt(), nxt(), nxt()
+        cost_sc = nxt()
+        if store_solutions:
+            sol_us, sol_xl = nxt(), nxt()
+        if stream_safe_set:
+            st_vmem, qf_vmem, dma_sem = nxt(), nxt(), nxt()
         if dedup:
-            (cache_idx, cache_ok, cache_us, cache_xl,
-             cache_d) = refs[2 * nsi + 13:]
+            cache_idx, cache_ok, cache_d = nxt(), nxt(), nxt()
+            if store_solutions:
+                cache_us, cache_xl = nxt(), nxt()
 
         F = make_tile_funcs(consts, n, shp)
         skip_f = skip_ref[...].reshape(shp)
@@ -123,11 +154,33 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                              for _ in range(2 * n))
             inf = jnp.float32(jnp.inf)
 
+            def load_lap(off):
+                """(st components, qf) for ss-lap ``off`` as (T, tile)."""
+                if stream_safe_set:
+                    # HBM-resident safe set: DMA this lap's lane slice into
+                    # the single reused VMEM scratch (see factory docstring).
+                    # The tile's global lane offset comes from a (tile,)
+                    # iota input block (pl.program_id has no interpret-mode
+                    # lowering on CPU).
+                    lane0 = pl.multiple_of(lane0_ref[0], tile)
+                    cp_st = pltpu.make_async_copy(
+                        st_hbm.at[s_ref[off], :, :, pl.ds(lane0, tile)],
+                        st_vmem, dma_sem.at[0])
+                    cp_qf = pltpu.make_async_copy(
+                        qf_hbm.at[s_ref[off], :, pl.ds(lane0, tile)],
+                        qf_vmem, dma_sem.at[1])
+                    cp_st.start()
+                    cp_qf.start()
+                    cp_st.wait()
+                    cp_qf.wait()
+                    return [st_vmem[:, c, :] for c in range(4)], qf_vmem[...]
+                return ([st_refs[off][0, :, c, :] for c in range(4)],
+                        qf_refs[off][0])
+
             def extract(off, xg):
                 """kNN + candidate extraction for ss-lap ``off``; fills the
                 candidate scratch rows [off*k, (off+1)*k)."""
-                st = [st_refs[off][0, :, c, :] for c in range(4)]  # (T, tile)
-                qf = qf_refs[off][0]  # (T, tile)
+                st, qf = load_lap(off)  # (T, tile) each
                 ll = ll_ref[s_ref[off]]  # (tile,) i32
                 lap_ok = s_ref[nsi + off] > 0
                 xgf = [xg[c].reshape(tile) for c in range(4)]  # lanes flat
@@ -188,16 +241,17 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                                      & (cache_ok[e] > 0.5) & okf
                                      & (pp < p_idx))
                                 take = m & (dup < 0.5)
-                                for i in range(n):
-                                    sub_us[2 * i] = jnp.where(
-                                        take, cache_us[e, i, 0],
-                                        sub_us[2 * i])
-                                    sub_us[2 * i + 1] = jnp.where(
-                                        take, cache_us[e, i, 1],
-                                        sub_us[2 * i + 1])
-                                for c in range(4):
-                                    sub_xl[c] = jnp.where(
-                                        take, cache_xl[e, c], sub_xl[c])
+                                if store_solutions:
+                                    for i in range(n):
+                                        sub_us[2 * i] = jnp.where(
+                                            take, cache_us[e, i, 0],
+                                            sub_us[2 * i])
+                                        sub_us[2 * i + 1] = jnp.where(
+                                            take, cache_us[e, i, 1],
+                                            sub_us[2 * i + 1])
+                                    for c in range(4):
+                                        sub_xl[c] = jnp.where(
+                                            take, cache_xl[e, c], sub_xl[c])
                                 sub_d = jnp.where(take, cache_d[e], sub_d)
                                 dup = jnp.maximum(
                                     dup, m.astype(jnp.float32))
@@ -209,27 +263,30 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                     us, xs, _cost, dist = F.lm_solve(
                         x0c, xt, obs, zeros_ui, done0, max_iter)
                     if dedup:
-                        us_m = []
-                        for i in range(n):
-                            us_m.append(jnp.where(
-                                dup2, sub_us[2 * i].reshape(shp), us[i][0]))
-                            us_m.append(jnp.where(
-                                dup2, sub_us[2 * i + 1].reshape(shp),
-                                us[i][1]))
-                        xl_m = [jnp.where(dup2, sub_xl[c].reshape(shp),
-                                          xs[n][c]) for c in range(4)]
                         dist = jnp.where(dup2, sub_d.reshape(shp), dist)
-                    else:
-                        us_m = []
+                    if store_solutions:
+                        if dedup:
+                            us_m = []
+                            for i in range(n):
+                                us_m.append(jnp.where(
+                                    dup2, sub_us[2 * i].reshape(shp),
+                                    us[i][0]))
+                                us_m.append(jnp.where(
+                                    dup2, sub_us[2 * i + 1].reshape(shp),
+                                    us[i][1]))
+                            xl_m = [jnp.where(dup2, sub_xl[c].reshape(shp),
+                                              xs[n][c]) for c in range(4)]
+                        else:
+                            us_m = []
+                            for i in range(n):
+                                us_m.append(us[i][0])
+                                us_m.append(us[i][1])
+                            xl_m = [xs[n][c] for c in range(4)]
                         for i in range(n):
-                            us_m.append(us[i][0])
-                            us_m.append(us[i][1])
-                        xl_m = [xs[n][c] for c in range(4)]
-                    for i in range(n):
-                        sol_us[ci, i, 0] = us_m[2 * i].reshape(tile)
-                        sol_us[ci, i, 1] = us_m[2 * i + 1].reshape(tile)
-                    for c in range(4):
-                        sol_xl[ci, c] = xl_m[c].reshape(tile)
+                            sol_us[ci, i, 0] = us_m[2 * i].reshape(tile)
+                            sol_us[ci, i, 1] = us_m[2 * i + 1].reshape(tile)
+                        for c in range(4):
+                            sol_xl[ci, c] = xl_m[c].reshape(tile)
                     # relaxed reach cost (base.py:427-437)
                     q = cand_q[ci].reshape(shp)
                     i_rel = jnp.maximum(jnp.ceil(dist / unit - 1e-12), 1.0)
@@ -246,11 +303,12 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                             slot = p_idx * nc + ci
                             cache_idx[slot] = my_idx
                             cache_ok[slot] = cand_ok[ci]
-                            for i in range(n):
-                                cache_us[slot, i, 0] = sol_us[ci, i, 0]
-                                cache_us[slot, i, 1] = sol_us[ci, i, 1]
-                            for c in range(4):
-                                cache_xl[slot, c] = sol_xl[ci, c]
+                            if store_solutions:
+                                for i in range(n):
+                                    cache_us[slot, i, 0] = sol_us[ci, i, 0]
+                                    cache_us[slot, i, 1] = sol_us[ci, i, 1]
+                                for c in range(4):
+                                    cache_xl[slot, c] = sol_xl[ci, c]
                             cache_d[slot] = dist.reshape(tile)
                     return 0
 
@@ -268,15 +326,18 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                         for kk in range(k):
                             brow[kk] = jnp.where(sel, rows[off][kk],
                                                  brow[kk])
-                    any_diff = jnp.zeros(shp, bool)
+                    # any_diff carried as f32 0/1 (Mosaic cannot materialize
+                    # accumulated i1 vectors — 'unsupported truncation')
+                    any_diff = jnp.zeros(shp, jnp.float32)
                     a_first = jnp.zeros(shp, jnp.float32)
                     b_first = jnp.zeros(shp, jnp.float32)
                     for kk in range(k - 1, -1, -1):
                         diff = rows[i][kk] != brow[kk]
-                        any_diff = any_diff | diff
+                        any_diff = jnp.maximum(any_diff,
+                                               diff.astype(jnp.float32))
                         a_first = jnp.where(diff, rows[i][kk], a_first)
                         b_first = jnp.where(diff, brow[kk], b_first)
-                    less = jnp.where(any_diff, a_first < b_first, False)
+                    less = (any_diff > 0.5) & (a_first < b_first)
                     best_row = jnp.where(less, i, best_row)
                 # row cost vector of the winning row, then first-min argmin
                 # over k (matches jnp.argmin on the (K, B) row)
@@ -291,24 +352,45 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                     best_cost = jnp.where(better, rck, best_cost)
                     best_col = jnp.where(better, kk, best_col)
                 ci_sel = best_row * k + best_col
-                us_sel = [jnp.zeros(shp, jnp.float32) for _ in range(2 * n)]
-                xl_sel = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
                 idx_sel = jnp.zeros(shp, jnp.int32)
                 len_sel = jnp.zeros(shp, jnp.int32)
-                for ci in range(nc):
-                    sel = ci_sel == ci
+                if store_solutions:
+                    us_sel = [jnp.zeros(shp, jnp.float32)
+                              for _ in range(2 * n)]
+                    xl_sel = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
+                    for ci in range(nc):
+                        sel = ci_sel == ci
+                        for i in range(n):
+                            us_sel[2 * i] = jnp.where(
+                                sel, sol_us[ci, i, 0].reshape(shp),
+                                us_sel[2 * i])
+                            us_sel[2 * i + 1] = jnp.where(
+                                sel, sol_us[ci, i, 1].reshape(shp),
+                                us_sel[2 * i + 1])
+                        for c in range(4):
+                            xl_sel[c] = jnp.where(
+                                sel, sol_xl[ci, c].reshape(shp), xl_sel[c])
+                        idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
+                                            idx_sel)
+                else:
+                    # re-solve the per-lane winner (identical pure solve of
+                    # the same extracted terminal state — bitwise the stored
+                    # solution) instead of storing all nc solutions
+                    xt_sel = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
+                    for ci in range(nc):
+                        sel = ci_sel == ci
+                        for c in range(4):
+                            xt_sel[c] = jnp.where(
+                                sel, cand_xt[ci, c].reshape(shp), xt_sel[c])
+                        idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
+                                            idx_sel)
+                    us_w, xs_w, _cw, _dw = F.lm_solve(
+                        x0c, tuple(xt_sel), obs, zeros_ui, skip_f, max_iter)
+                    us_sel = []
                     for i in range(n):
-                        us_sel[2 * i] = jnp.where(
-                            sel, sol_us[ci, i, 0].reshape(shp),
-                            us_sel[2 * i])
-                        us_sel[2 * i + 1] = jnp.where(
-                            sel, sol_us[ci, i, 1].reshape(shp),
-                            us_sel[2 * i + 1])
-                    for c in range(4):
-                        xl_sel[c] = jnp.where(
-                            sel, sol_xl[ci, c].reshape(shp), xl_sel[c])
-                    idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
-                                        idx_sel)
+                        us_sel.append(us_w[i][0])
+                        us_sel.append(us_w[i][1])
+                    xl_sel = [xs_w[n][c] for c in range(4)]
                 for off in range(nsi):
                     len_sel = jnp.where(best_row == off,
                                         ll_ref[s_ref[off]].reshape(shp),
@@ -337,11 +419,22 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
         def qf_map(off):
             return lambda i, s: (s[off], 0, i)
 
+        if stream_safe_set:
+            # pin the safe set to HBM (ANY lets the compiler try VMEM, where
+            # a (max_laps, T, 4, B) buffer cannot live); interpret mode has
+            # no memory spaces, so ANY there
+            space = pl.ANY if interpret else pltpu.HBM
+            ss_specs = [pl.BlockSpec(memory_space=space),
+                        pl.BlockSpec(memory_space=space),
+                        pl.BlockSpec((tile,), lambda i, s: (i,))]
+        else:
+            ss_specs = (
+                [pl.BlockSpec((1, t_rows, 4, tile), st_map(off))
+                 for off in range(nsi)]
+                + [pl.BlockSpec((1, t_rows, tile), qf_map(off))
+                   for off in range(nsi)])
         in_specs = (
-            [pl.BlockSpec((1, t_rows, 4, tile), st_map(off))
-             for off in range(nsi)]
-            + [pl.BlockSpec((1, t_rows, tile), qf_map(off))
-               for off in range(nsi)]
+            ss_specs
             + [pl.BlockSpec((max_laps, tile), lambda i, s: (0, i)),
                pl.BlockSpec((4, tile), lambda i, s: (0, i)),
                pl.BlockSpec((6, tile), lambda i, s: (0, i)),
@@ -359,19 +452,28 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                 pltpu.VMEM((nc, tile), jnp.float32),      # cand_q
                 pltpu.VMEM((nc, tile), jnp.float32),      # cand_ok
                 pltpu.VMEM((nc, tile), jnp.int32),        # cand_idx
-                pltpu.VMEM((nc, n, 2, tile), jnp.float32),  # sol_us
-                pltpu.VMEM((nc, 4, tile), jnp.float32),   # sol_xl
                 pltpu.VMEM((nc, tile), jnp.float32),      # cost_sc
             ] + ([
+                pltpu.VMEM((nc, n, 2, tile), jnp.float32),  # sol_us
+                pltpu.VMEM((nc, 4, tile), jnp.float32),   # sol_xl
+            ] if store_solutions else []) + ([
+                pltpu.VMEM((t_rows, 4, tile), jnp.float32),  # st_vmem
+                pltpu.VMEM((t_rows, tile), jnp.float32),     # qf_vmem
+                pltpu.SemaphoreType.DMA((2,)),               # dma_sem
+            ] if stream_safe_set else []) + ([
                 pltpu.VMEM((2 * nc, tile), jnp.int32),    # cache_idx
                 pltpu.VMEM((2 * nc, tile), jnp.float32),  # cache_ok
+                pltpu.VMEM((2 * nc, tile), jnp.float32),  # cache_d
+            ] if dedup else []) + ([
                 pltpu.VMEM((2 * nc, n, 2, tile), jnp.float32),  # cache_us
                 pltpu.VMEM((2 * nc, 4, tile), jnp.float32),  # cache_xl
-                pltpu.VMEM((2 * nc, tile), jnp.float32),  # cache_d
-            ] if dedup else []),
+            ] if (dedup and store_solutions) else []),
         )
-        args = [sargs] + [states] * nsi + [qfun] * nsi \
-            + [lap_len, x, obs_lanes, skip]
+        if stream_safe_set:
+            ss_args = [states, qfun, jnp.arange(b, dtype=jnp.int32)]
+        else:
+            ss_args = [states] * nsi + [qfun] * nsi
+        args = [sargs] + ss_args + [lap_len, x, obs_lanes, skip]
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -395,4 +497,6 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     solve_api.max_steps = max_steps
     solve_api.max_laps = max_laps
     solve_api.dedup = dedup
+    solve_api.stream_safe_set = stream_safe_set
+    solve_api.store_solutions = store_solutions
     return solve_api

@@ -142,15 +142,18 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                     sel = best_row == off
                     for kk in range(k):
                         brow[kk] = jnp.where(sel, rows[off][kk], brow[kk])
-                any_diff = jnp.zeros(shp, bool)
+                # any_diff carried as f32 0/1 (Mosaic cannot materialize
+                # accumulated i1 vectors — 'unsupported truncation')
+                any_diff = jnp.zeros(shp, jnp.float32)
                 a_first = jnp.zeros(shp, jnp.float32)
                 b_first = jnp.zeros(shp, jnp.float32)
                 for kk in range(k - 1, -1, -1):
                     diff = rows[i][kk] != brow[kk]
-                    any_diff = any_diff | diff
+                    any_diff = jnp.maximum(any_diff,
+                                           diff.astype(jnp.float32))
                     a_first = jnp.where(diff, rows[i][kk], a_first)
                     b_first = jnp.where(diff, brow[kk], b_first)
-                less = jnp.where(any_diff, a_first < b_first, False)
+                less = (any_diff > 0.5) & (a_first < b_first)
                 best_row = jnp.where(less, i, best_row)
             best_col = jnp.zeros(shp, jnp.int32)
             best_cost = jnp.full(shp, inf)

@@ -119,3 +119,31 @@ def test_step_kernel_dedup_bitwise_neutral():
             params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
             pallas_step_solver=solver, **kw))
     _assert_bitwise(runs[0], runs[1])
+
+
+@pytest.mark.slow
+def test_step_kernel_stream_nostore_bitwise():
+    """stream_safe_set (HBM-resident safe set + per-extraction DMA) and
+    store_solutions=False (winner re-solve instead of per-candidate solution
+    scratch) — the space/compute trades that unlock enlarged-candidate
+    configs — must be bitwise-neutral vs the default step kernel. Exercised
+    at nsi=2 with dedup on (cache without stored solutions)."""
+    setup = _setup(num_ss_iter=2)
+    params, limits, seed_xs, seed_us, xcl, obstacle = setup
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 128,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=12,
+              sim_step_budget=70)
+    key = jax.random.PRNGKey(13)
+    runs = []
+    for variant in (dict(),
+                    dict(stream_safe_set=True, store_solutions=False,
+                         dedup=True)):
+        solver = build_fused_i2lqr_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=8, max_iter=12, tile_rows=1,
+            interpret=True, **variant)
+        runs.append(simulate_learning_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+            pallas_step_solver=solver, **kw))
+    _assert_bitwise(runs[0], runs[1])
