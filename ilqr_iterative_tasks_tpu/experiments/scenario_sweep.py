@@ -64,19 +64,21 @@ def run_sweep(batch: int, num_laps: int, moving: bool = False,
               solver_max_iter=solver_max_iter)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    # the step kernel's VMEM scratch scales with nsi*k (candidate solutions
-    # + dedup cache) and its safe-set blocks with nsi — stay on the
-    # per-candidate kernel for enlarged-candidate configs (k=32 / nsi=4)
-    step_fits = num_ss_iter == 1 and num_ss_points <= 16
-    if use_pallas and step_fits and batch % (8 * 128) == 0:
+    if use_pallas and batch % (8 * 128) == 0:
         # whole-step fused kernel: per-lane obstacle parameters ride as
-        # kernel inputs, so heterogeneous randomized scenarios are free
+        # kernel inputs, so heterogeneous randomized scenarios are free.
+        # Enlarged-candidate configs switch to the HBM-streamed safe set +
+        # winner-re-solve modes (bitwise-neutral; the default per-candidate
+        # solution scratch scales with nsi*k and overflows VMEM at k=32):
+        # measured 2.34x the per-candidate kernel at k=32/nsi=4.
         from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (
             build_fused_i2lqr_step)
+        big = num_ss_iter * num_ss_points > 16
         kw["pallas_step_solver"] = build_fused_i2lqr_step(
             params, limits, 1.0, num_horizon=params.num_horizon,
             max_steps=max_steps, max_laps=8, max_iter=solver_max_iter,
-            tile_rows=8)
+            tile_rows=8, dedup=True, stream_safe_set=big,
+            store_solutions=not big)
     elif use_pallas and (params.num_ss_points * batch) % (64 * 128) == 0:
         from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import build_fused_ilqr
         kw["pallas_solver"] = build_fused_ilqr(
