@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ilqr_iterative_tasks_tpu.control.batched_soa import (
-    SoaScenarios, _lex_argmin_rows, _stable_partition, _topk_select)
+    SoaScenarios, _lex_argmin_rows, _stable_partition, _step_solver_inputs,
+    _topk_select)
 from ilqr_iterative_tasks_tpu.ops.ilqr_soa import step_soa
 from ilqr_iterative_tasks_tpu.ops.lm_shooting_soa import (
     lm_feasibility_solve_soa)
@@ -152,12 +153,8 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
                 obstacle_to_lanes_nlmpc)
             obs_l = obstacle_to_lanes_nlmpc(obstacle, b)
-            offs = jnp.arange(nsi, dtype=jnp.int32)
-            lap_id = lap_count - nsi + offs
-            lap_ok = (lap_id >= 0).astype(jnp.int32)
-            lap_ids = jnp.clip(lap_id, 0, max_laps - 1).astype(jnp.int32)
-            skip = (inactive.astype(jnp.float32) if inactive is not None
-                    else jnp.zeros((b,), jnp.float32))
+            lap_ids, lap_ok, skip = _step_solver_inputs(
+                lap_count, nsi, max_laps, inactive, b)
             us_sel, feas_f, new_guess = pallas_step_solver(
                 x, guess, u_warm, states, qfun, lap_len, lap_ids, lap_ok,
                 obs_l, skip)

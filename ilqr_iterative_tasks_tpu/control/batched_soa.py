@@ -118,6 +118,18 @@ def _stable_partition(to_tail):
     return dst, src, n_front
 
 
+def _step_solver_inputs(lap_count, nsi, max_laps, inactive, b):
+    """Prefetch lap ids / validity flags + skip mask for the whole-step
+    fused kernels (shared by both SoA simulators)."""
+    offs = jnp.arange(nsi, dtype=jnp.int32)
+    lap_id = lap_count - nsi + offs  # (nsi,)
+    lap_ok = (lap_id >= 0).astype(jnp.int32)
+    lap_ids = jnp.clip(lap_id, 0, max_laps - 1).astype(jnp.int32)
+    skip = (inactive.astype(jnp.float32) if inactive is not None
+            else jnp.zeros((b,), jnp.float32))
+    return lap_ids, lap_ok, skip
+
+
 def _topk_select(dist, k, arrs):
     """k smallest-distance rows per lane + row extraction, gather-free.
 
@@ -325,12 +337,8 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                 obstacle_to_lanes)
             states, qfun, valid, lap_len = ss
             obs_l = obstacle_to_lanes(obstacle, b)
-            offs = jnp.arange(nsi, dtype=jnp.int32)
-            lap_id = lap_count - nsi + offs  # (nsi,)
-            lap_ok = (lap_id >= 0).astype(jnp.int32)
-            lap_ids = jnp.clip(lap_id, 0, max_laps - 1).astype(jnp.int32)
-            skip = (inactive.astype(jnp.float32) if inactive is not None
-                    else jnp.zeros((b,), jnp.float32))
+            lap_ids, lap_ok, skip = _step_solver_inputs(
+                lap_count, nsi, max_laps, inactive, b)
             us_sel, shrink_f = pallas_step_solver(
                 x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
             u = us_sel[0]

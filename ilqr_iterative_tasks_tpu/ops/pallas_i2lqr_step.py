@@ -229,10 +229,11 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                         # dup carried as f32 0/1 (Mosaic cannot reshape a
                         # 1D i1 vector to (rows, 128))
                         dup = jnp.zeros((tile,), jnp.float32)
-                        sub_us = [jnp.zeros((tile,), jnp.float32)
-                                  for _ in range(2 * n)]
-                        sub_xl = [jnp.zeros((tile,), jnp.float32)
-                                  for _ in range(4)]
+                        if store_solutions:
+                            sub_us = [jnp.zeros((tile,), jnp.float32)
+                                      for _ in range(2 * n)]
+                            sub_xl = [jnp.zeros((tile,), jnp.float32)
+                                      for _ in range(4)]
                         sub_d = jnp.zeros((tile,), jnp.float32)
                         for pp in range(2):
                             for kk2 in range(k):

@@ -74,19 +74,22 @@ def _shardmap_sim(sim_fn, params, limits, scenarios, seed_xs, seed_us,
     trailing = lambda x: P(*([None] * (x.ndim - 1) + [axis]))
     in_specs = (jax.tree_util.tree_map(trailing, scenarios),)
 
-    # trailing-axis out_specs from the output structure; scalars and the
-    # dropped final_key stay replicated
-    def out_spec_of(x):
-        if x.ndim == 0 or x.shape == (2,):
-            return P()
-        return trailing(x)
-
+    # trailing-axis out_specs by FIELD: every per-lane tensor (lap stats,
+    # final state, safe-set tensors) is batch-trailing; only the scalar
+    # lap counter and the zeroed final_key are replicated
     out_shapes = jax.eval_shape(
         lambda scen: sim_fn(params, limits, scen, seed_xs, seed_us, seed_len,
                             dt, key, **kw)._replace(
                                 final_key=jnp.zeros((2,), jnp.uint32)),
         scenarios)
-    out_specs = jax.tree_util.tree_map(out_spec_of, out_shapes)
+    out_specs = type(out_shapes)(
+        lap_steps=trailing(out_shapes.lap_steps),
+        lap_done=trailing(out_shapes.lap_done),
+        final_x=trailing(out_shapes.final_x),
+        safe_set=tuple(trailing(t) for t in out_shapes.safe_set),
+        lap_count=P(),
+        final_key=P(),
+    )
     fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
     return fn(scenarios)
