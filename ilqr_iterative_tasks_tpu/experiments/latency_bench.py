@@ -75,6 +75,64 @@ def bench_solver_throughput(batches):
     return out
 
 
+def bench_tpu_step_latency(batch: int = 1024, reps: int = 30):
+    """Latency of ONE fused control-step kernel on the device — the
+    per-step real-time metric when the controller runs on the TPU (the
+    reference budget is dt = 1 s, base.py:145-150). Uses the production
+    whole-step kernel (k=8, dedup on) against a seed-lap safe set."""
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() != "tpu":
+        return None
+    from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+    from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (
+        build_fused_i2lqr_step)
+    from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import obstacle_to_lanes
+    from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+    from ilqr_iterative_tasks_tpu.utils.params import (IlqrParams,
+                                                       SystemLimits)
+
+    dtype = jnp.float32
+    params = IlqrParams.make(dtype=dtype)
+    limits = SystemLimits.make(dtype=dtype)
+    xcl, _ = seed_trajectory(1.0)
+    max_steps, max_laps = 128, 8
+    states = jnp.zeros((max_laps, max_steps, 4, batch), dtype)
+    states = states.at[0, :121].set(
+        jnp.broadcast_to(jnp.asarray(xcl, dtype)[:, :, None],
+                         (121, 4, batch)))
+    qfun = jnp.zeros((max_laps, max_steps, batch), dtype)
+    qfun = qfun.at[0].set(
+        jnp.maximum(120.0 - jnp.arange(max_steps, dtype=dtype), 0.0)[:, None])
+    lap_len = jnp.zeros((max_laps, batch), jnp.int32).at[0].set(121)
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
+    obs_l = obstacle_to_lanes(obstacle, batch)
+    x = jnp.zeros((4, batch), dtype)
+    skip = jnp.zeros((batch,), jnp.float32)
+    solver = build_fused_i2lqr_step(
+        params, limits, 1.0, num_horizon=params.num_horizon,
+        max_steps=max_steps, max_laps=max_laps, max_iter=16, tile_rows=8,
+        dedup=True)
+    lap_ids = jnp.zeros((1,), jnp.int32)
+    lap_ok = jnp.ones((1,), jnp.int32)
+
+    def run():
+        out = solver(x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
+        jax.block_until_ready(out)
+
+    run()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    return {"batch": batch,
+            "p50_ms": round(times[len(times) // 2], 3),
+            "p99_ms": round(times[int(len(times) * 0.99)], 3),
+            "budget_ms": 1000.0}
+
+
 def bench_device_scaling(device_counts):
     import jax
     import jax.numpy as jnp
@@ -143,6 +201,9 @@ def main(argv=None):
     if not args.skip_latency:
         report["per_step_latency"] = bench_step_latency()
         report["per_step_latency_nlmpc"] = bench_step_latency_nlmpc()
+    tpu_lat = bench_tpu_step_latency()  # no-op off-TPU
+    if tpu_lat is not None:
+        report["tpu_fused_step_latency"] = tpu_lat
     report["soa_solves_per_s"] = bench_solver_throughput(
         [int(b) for b in args.batches.split(",")])
     report["lap_sims_per_s_by_devices"] = bench_device_scaling(
