@@ -39,6 +39,7 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                            *, num_horizon: int, max_steps: int,
                            max_laps: int, max_iters: int = 60,
                            num_starts: int = 2, tile_rows: int = 8,
+                           store_solutions: bool = True,
                            interpret: bool = False):
     """Factory: returns
     fn(x (4,B), guess (4,B), u_warm (n,2,B), states (max_laps,T,4,B),
@@ -47,6 +48,13 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     -> (us (n,2,B), feasible_any (B,) f32, new_guess (4,B)).
 
     B must be a multiple of tile_rows*128.
+
+    ``store_solutions=False``: candidate solves write only their cost; the
+    per-lane WINNER is re-solved once after selection (a pure function of
+    (x0, extracted x_term, clipped warm start) — bitwise the same solution).
+    Saves the nc*2n-lane solution scratch: nsi=2 overflows the 16 MB scoped
+    VMEM by 52 KB with storage, and fits without (the multi-start LM body
+    carries more live state than the iLQR kernel's).
     """
     tile = tile_rows * 128
     n = num_horizon
@@ -67,8 +75,12 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
         x_ref, g_ref, uw_ref, obs_ref, skip_ref = refs[2 * nsi + 1:
                                                        2 * nsi + 6]
         us_ref, fe_ref, ng_ref = refs[2 * nsi + 6:2 * nsi + 9]
-        (cand_xt, cand_q, cand_ok, cand_idx,
-         sol_us, cost_sc) = refs[2 * nsi + 9:]
+        if store_solutions:
+            (cand_xt, cand_q, cand_ok, cand_idx,
+             sol_us, cost_sc) = refs[2 * nsi + 9:]
+        else:
+            (cand_xt, cand_q, cand_ok, cand_idx,
+             cost_sc) = refs[2 * nsi + 9:]
 
         F = make_nlmpc_tile_funcs(consts, n, shp)
         skip_f = skip_ref[...].reshape(shp)
@@ -120,9 +132,10 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                 xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
                 us, _xs, _te, feasible = F.feasibility_solve(
                     x0c, xt, obs, warm, skip_f, max_iters, num_starts)
-                for i in range(n):
-                    sol_us[ci, i, 0] = us[i][0].reshape(tile)
-                    sol_us[ci, i, 1] = us[i][1].reshape(tile)
+                if store_solutions:
+                    for i in range(n):
+                        sol_us[ci, i, 0] = us[i][0].reshape(tile)
+                        sol_us[ci, i, 1] = us[i][1].reshape(tile)
                 q = cand_q[ci].reshape(shp)
                 okc = cand_ok[ci].reshape(shp) > 0.5
                 cost = jnp.where((feasible > 0.5) & okc,
@@ -165,18 +178,40 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                 best_cost = jnp.where(better, rck, best_cost)
                 best_col = jnp.where(better, kk, best_col)
             ci_sel = best_row * k + best_col
-            us_sel = [jnp.zeros(shp, jnp.float32) for _ in range(2 * n)]
             idx_sel = jnp.zeros(shp, jnp.int32)
             len_sel = jnp.zeros(shp, jnp.int32)
-            for ci in range(nc):
-                sel = ci_sel == ci
+            if store_solutions:
+                us_sel = [jnp.zeros(shp, jnp.float32) for _ in range(2 * n)]
+                for ci in range(nc):
+                    sel = ci_sel == ci
+                    for i in range(n):
+                        us_sel[2 * i] = jnp.where(
+                            sel, sol_us[ci, i, 0].reshape(shp),
+                            us_sel[2 * i])
+                        us_sel[2 * i + 1] = jnp.where(
+                            sel, sol_us[ci, i, 1].reshape(shp),
+                            us_sel[2 * i + 1])
+                    idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
+                                        idx_sel)
+            else:
+                # re-solve the per-lane winner (identical pure solve of the
+                # same extracted terminal state and warm start — bitwise
+                # the stored solution)
+                xt_sel = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
+                for ci in range(nc):
+                    sel = ci_sel == ci
+                    for c in range(4):
+                        xt_sel[c] = jnp.where(
+                            sel, cand_xt[ci, c].reshape(shp), xt_sel[c])
+                    idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
+                                        idx_sel)
+                us_w, _xs_w, _te_w, _fe_w = F.feasibility_solve(
+                    x0c, tuple(xt_sel), obs, warm, skip_f, max_iters,
+                    num_starts)
+                us_sel = []
                 for i in range(n):
-                    us_sel[2 * i] = jnp.where(
-                        sel, sol_us[ci, i, 0].reshape(shp), us_sel[2 * i])
-                    us_sel[2 * i + 1] = jnp.where(
-                        sel, sol_us[ci, i, 1].reshape(shp),
-                        us_sel[2 * i + 1])
-                idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp), idx_sel)
+                    us_sel.append(us_w[i][0])
+                    us_sel.append(us_w[i][1])
             for off in range(nsi):
                 len_sel = jnp.where(best_row == off,
                                     ll_ref[s_ref[off]].reshape(shp), len_sel)
@@ -244,7 +279,9 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                 pltpu.VMEM((nc, tile), jnp.float32),        # cand_q
                 pltpu.VMEM((nc, tile), jnp.float32),        # cand_ok
                 pltpu.VMEM((nc, tile), jnp.int32),          # cand_idx
+            ] + ([
                 pltpu.VMEM((nc, n, 2, tile), jnp.float32),  # sol_us
+            ] if store_solutions else []) + [
                 pltpu.VMEM((nc, tile), jnp.float32),        # cost_sc
             ],
         )
@@ -274,4 +311,5 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     solve_api.num_horizon = n
     solve_api.max_steps = max_steps
     solve_api.max_laps = max_laps
+    solve_api.store_solutions = store_solutions
     return solve_api

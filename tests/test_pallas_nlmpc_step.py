@@ -91,3 +91,27 @@ def test_nlmpc_step_kernel_two_tiles_nsi2_bitwise():
     composed, fused = _run_both(*setup, b=256, num_laps=2, cap=12,
                                 tile_rows=1)
     _assert_bitwise(composed, fused)
+
+
+@pytest.mark.slow
+def test_nlmpc_step_kernel_nostore_bitwise():
+    """store_solutions=False (winner re-solve) must be bitwise-neutral —
+    it is what fits the nsi=2 NLMPC config in VMEM on v5e (the default
+    storage overflows the 16 MB scoped stack by 52 KB there)."""
+    setup = _setup(num_ss_iter=2)
+    params, limits, seed_xs, seed_us, xcl, obstacle = setup
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 128,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, max_lm_iters=12,
+              sim_step_budget=70)
+    key = jax.random.PRNGKey(17)
+    runs = []
+    for store in (True, False):
+        solver = build_fused_nlmpc_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=8, max_iters=12, tile_rows=1,
+            store_solutions=store, interpret=True)
+        runs.append(simulate_nlmpc_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+            pallas_step_solver=solver, **kw))
+    _assert_bitwise(runs[0], runs[1])
