@@ -147,3 +147,18 @@ def test_step_kernel_stream_nostore_bitwise():
             params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
             pallas_step_solver=solver, **kw))
     _assert_bitwise(runs[0], runs[1])
+
+
+@pytest.mark.slow
+def test_step_kernel_moving_obstacle_bitwise():
+    """Moving obstacle (option 1, +y at spd per step): the step kernel's
+    per-lane obstacle packing (spd_up/spd_left folded into the (6, B) lanes)
+    and in-solve horizon extrapolation must reproduce the composed path
+    bitwise while the simulator advances the obstacle every step."""
+    params, limits, seed_xs, seed_us, xcl, _ = _setup()
+    obstacle = Obstacle.make(35.0, -16.0, 16.0, 16.0, spd=1.0,
+                             moving_option=1, dtype=DT)
+    composed, fused = _run_both(params, limits, seed_xs, seed_us, xcl,
+                                obstacle, b=128, num_laps=2, cap=12,
+                                tile_rows=1)
+    _assert_bitwise(composed, fused)

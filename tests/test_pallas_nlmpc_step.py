@@ -115,3 +115,16 @@ def test_nlmpc_step_kernel_nostore_bitwise():
             params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
             pallas_step_solver=solver, **kw))
     _assert_bitwise(runs[0], runs[1])
+
+
+@pytest.mark.slow
+def test_nlmpc_step_kernel_moving_obstacle_bitwise():
+    """Moving obstacle through the NLMPC step kernel's (7, B) obstacle
+    packing and keep-out extrapolation — bitwise vs the composed path."""
+    params, limits, seed_xs, seed_us, xcl, _ = _setup()
+    obstacle = Obstacle.make(35.0, -16.0, 16.0, 16.0, spd=1.0,
+                             moving_option=1, dtype=DT)
+    composed, fused = _run_both(params, limits, seed_xs, seed_us, xcl,
+                                obstacle, b=128, num_laps=2, cap=12,
+                                tile_rows=1)
+    _assert_bitwise(composed, fused)
