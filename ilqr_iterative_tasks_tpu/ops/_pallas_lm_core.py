@@ -77,6 +77,50 @@ def lin4(m, row, d):
     return acc
 
 
+def lex_argmin_tile(rows, shp):
+    """In-kernel candidate selection shared by both whole-step kernels.
+
+    rows: list (per safe-set lap) of lists (per kNN slot) of (shp) f32 cost
+    arrays. Returns (best_row, best_col, best_cost): the lexicographic
+    row-min over laps (mirrors control/batched_soa._lex_argmin_rows, i.e.
+    Python min() over per-lap cost lists, reference base.py:462/:605)
+    followed by a first-min argmin over the k slots of the winning row.
+
+    Boolean accumulators are carried as f32 0/1 — Mosaic cannot materialize
+    accumulated i1 vectors on real TPU ('unsupported truncation').
+    """
+    nsi = len(rows)
+    k = len(rows[0])
+    inf = jnp.float32(jnp.inf)
+    best_row = jnp.zeros(shp, jnp.int32)
+    for i in range(1, nsi):
+        brow = [jnp.zeros(shp, jnp.float32) for _ in range(k)]
+        for off in range(nsi):
+            sel = best_row == off
+            for kk in range(k):
+                brow[kk] = jnp.where(sel, rows[off][kk], brow[kk])
+        any_diff = jnp.zeros(shp, jnp.float32)
+        a_first = jnp.zeros(shp, jnp.float32)
+        b_first = jnp.zeros(shp, jnp.float32)
+        for kk in range(k - 1, -1, -1):
+            diff = rows[i][kk] != brow[kk]
+            any_diff = jnp.maximum(any_diff, diff.astype(jnp.float32))
+            a_first = jnp.where(diff, rows[i][kk], a_first)
+            b_first = jnp.where(diff, brow[kk], b_first)
+        less = (any_diff > 0.5) & (a_first < b_first)
+        best_row = jnp.where(less, i, best_row)
+    best_col = jnp.zeros(shp, jnp.int32)
+    best_cost = jnp.full(shp, inf)
+    for kk in range(k):
+        rck = jnp.zeros(shp, jnp.float32)
+        for off in range(nsi):
+            rck = jnp.where(best_row == off, rows[off][kk], rck)
+        better = rck < best_cost
+        best_cost = jnp.where(better, rck, best_cost)
+        best_col = jnp.where(better, kk, best_col)
+    return best_row, best_col, best_cost
+
+
 def make_tile_funcs(C: SimpleNamespace, n: int, shp):
     """Tile-shaped solver functions for horizon ``n`` on ``shp`` arrays.
 

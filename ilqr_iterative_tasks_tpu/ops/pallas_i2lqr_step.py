@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ilqr_iterative_tasks_tpu.ops._pallas_lm_core import (
-    bake_consts, make_tile_funcs)
+    bake_consts, lex_argmin_tile, make_tile_funcs)
 from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
 
 
@@ -315,43 +315,11 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
 
                 jax.lax.fori_loop(0, nc, solve_ci, 0)
 
-                # --- selection: lexicographic row-min over the nsi laps
-                # (mirrors _lex_argmin_rows), then argmin over k ---
+                # --- selection: lexicographic row-min over the nsi laps,
+                # then first-min argmin over k (shared tile helper) ---
                 rows = [[cost_sc[off * k + kk].reshape(shp)
                          for kk in range(k)] for off in range(nsi)]
-                best_row = jnp.zeros(shp, jnp.int32)
-                for i in range(1, nsi):
-                    brow = [jnp.zeros(shp, jnp.float32) for _ in range(k)]
-                    for off in range(nsi):
-                        sel = best_row == off
-                        for kk in range(k):
-                            brow[kk] = jnp.where(sel, rows[off][kk],
-                                                 brow[kk])
-                    # any_diff carried as f32 0/1 (Mosaic cannot materialize
-                    # accumulated i1 vectors — 'unsupported truncation')
-                    any_diff = jnp.zeros(shp, jnp.float32)
-                    a_first = jnp.zeros(shp, jnp.float32)
-                    b_first = jnp.zeros(shp, jnp.float32)
-                    for kk in range(k - 1, -1, -1):
-                        diff = rows[i][kk] != brow[kk]
-                        any_diff = jnp.maximum(any_diff,
-                                               diff.astype(jnp.float32))
-                        a_first = jnp.where(diff, rows[i][kk], a_first)
-                        b_first = jnp.where(diff, brow[kk], b_first)
-                    less = (any_diff > 0.5) & (a_first < b_first)
-                    best_row = jnp.where(less, i, best_row)
-                # row cost vector of the winning row, then first-min argmin
-                # over k (matches jnp.argmin on the (K, B) row)
-                best_col = jnp.zeros(shp, jnp.int32)
-                best_cost = jnp.full(shp, inf)
-                for kk in range(k):
-                    rck = jnp.zeros(shp, jnp.float32)
-                    for off in range(nsi):
-                        rck = jnp.where(best_row == off,
-                                        rows[off][kk], rck)
-                    better = rck < best_cost
-                    best_cost = jnp.where(better, rck, best_cost)
-                    best_col = jnp.where(better, kk, best_col)
+                best_row, best_col, _best_cost = lex_argmin_tile(rows, shp)
                 ci_sel = best_row * k + best_col
                 idx_sel = jnp.zeros(shp, jnp.int32)
                 len_sel = jnp.zeros(shp, jnp.int32)

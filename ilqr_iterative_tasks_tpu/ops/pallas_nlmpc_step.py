@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ilqr_iterative_tasks_tpu.ops._pallas_lm_core import lex_argmin_tile
 from ilqr_iterative_tasks_tpu.ops._pallas_nlmpc_core import (
     bake_nlmpc_consts, make_nlmpc_tile_funcs)
 from ilqr_iterative_tasks_tpu.utils.params import LmpcParams, SystemLimits
@@ -145,38 +146,11 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
 
             jax.lax.fori_loop(0, nc, solve_ci, 0)
 
-            # --- lexicographic row-min + argmin over k (base.py:605-611) ---
+            # --- lexicographic row-min + argmin over k (base.py:605-611;
+            # shared tile helper) ---
             rows = [[cost_sc[off * k + kk].reshape(shp)
                      for kk in range(k)] for off in range(nsi)]
-            best_row = jnp.zeros(shp, jnp.int32)
-            for i in range(1, nsi):
-                brow = [jnp.zeros(shp, jnp.float32) for _ in range(k)]
-                for off in range(nsi):
-                    sel = best_row == off
-                    for kk in range(k):
-                        brow[kk] = jnp.where(sel, rows[off][kk], brow[kk])
-                # any_diff carried as f32 0/1 (Mosaic cannot materialize
-                # accumulated i1 vectors — 'unsupported truncation')
-                any_diff = jnp.zeros(shp, jnp.float32)
-                a_first = jnp.zeros(shp, jnp.float32)
-                b_first = jnp.zeros(shp, jnp.float32)
-                for kk in range(k - 1, -1, -1):
-                    diff = rows[i][kk] != brow[kk]
-                    any_diff = jnp.maximum(any_diff,
-                                           diff.astype(jnp.float32))
-                    a_first = jnp.where(diff, rows[i][kk], a_first)
-                    b_first = jnp.where(diff, brow[kk], b_first)
-                less = (any_diff > 0.5) & (a_first < b_first)
-                best_row = jnp.where(less, i, best_row)
-            best_col = jnp.zeros(shp, jnp.int32)
-            best_cost = jnp.full(shp, inf)
-            for kk in range(k):
-                rck = jnp.zeros(shp, jnp.float32)
-                for off in range(nsi):
-                    rck = jnp.where(best_row == off, rows[off][kk], rck)
-                better = rck < best_cost
-                best_cost = jnp.where(better, rck, best_cost)
-                best_col = jnp.where(better, kk, best_col)
+            best_row, best_col, best_cost = lex_argmin_tile(rows, shp)
             ci_sel = best_row * k + best_col
             idx_sel = jnp.zeros(shp, jnp.int32)
             len_sel = jnp.zeros(shp, jnp.int32)
