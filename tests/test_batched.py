@@ -320,3 +320,28 @@ def test_inactive_skip_bitwise_neutral():
                                   np.asarray(fast.lap_done))
     for a, c in zip(base.safe_set, fast.safe_set):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_lex_argmin_tile_matches_python_list_min():
+    """The in-kernel shared selection helper (ops/_pallas_lm_core.
+    lex_argmin_tile) is plain jnp math — check it directly against Python's
+    min() over per-lap cost lists (the reference semantics, base.py:462)
+    and first-min argmin over the winning row."""
+    from ilqr_iterative_tasks_tpu.ops._pallas_lm_core import lex_argmin_tile
+
+    rng = np.random.default_rng(21)
+    nsi, k, shp = 3, 4, (2, 5)
+    for _ in range(20):
+        cost = rng.choice([1.0, 2.0, 3.0, np.inf], size=(nsi, k) + shp)
+        rows = [[jnp.asarray(cost[i, j], jnp.float32) for j in range(k)]
+                for i in range(nsi)]
+        br, bc, bcost = lex_argmin_tile(rows, shp)
+        br, bc, bcost = np.asarray(br), np.asarray(bc), np.asarray(bcost)
+        for a in range(shp[0]):
+            for b in range(shp[1]):
+                lists = [list(cost[i, :, a, b]) for i in range(nsi)]
+                want_row = lists.index(min(lists))
+                want_col = int(np.argmin(cost[want_row, :, a, b]))
+                assert br[a, b] == want_row, (cost[:, :, a, b], br[a, b])
+                assert bc[a, b] == want_col
+                assert bcost[a, b] == cost[want_row, want_col, a, b]
