@@ -81,7 +81,7 @@ def test_step_kernel_bitwise_vs_composed():
     path bitwise across a full learning run (skip lanes exercised by the
     done/replay masking of laps finishing at different steps)."""
     setup = _setup()
-    composed, fused = _run_both(*setup, b=128, num_laps=2, cap=12,
+    composed, fused = _run_both(*setup, b=128, num_laps=2, cap=8,
                                 tile_rows=1)
     _assert_bitwise(composed, fused)
 
@@ -92,7 +92,7 @@ def test_step_kernel_two_tiles_nsi2_bitwise():
     lap indexing with a not-yet-valid history row (lap_ok masking on the
     first learning lap) and the in-kernel lexicographic row selection."""
     setup = _setup(num_ss_iter=2)
-    composed, fused = _run_both(*setup, b=256, num_laps=2, cap=12,
+    composed, fused = _run_both(*setup, b=256, num_laps=2, cap=8,
                                 tile_rows=1)
     _assert_bitwise(composed, fused)
 
@@ -106,14 +106,14 @@ def test_step_kernel_dedup_bitwise_neutral():
     params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
     scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 128,
                                  noise_on=True, dtype=DT)
-    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=12,
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=8,
               sim_step_budget=70)
     key = jax.random.PRNGKey(9)
     runs = []
     for dd in (False, True):
         solver = build_fused_i2lqr_step(
             params, limits, 1.0, num_horizon=params.num_horizon,
-            max_steps=128, max_laps=8, max_iter=12, tile_rows=1,
+            max_steps=128, max_laps=8, max_iter=8, tile_rows=1,
             dedup=dd, interpret=True)
         runs.append(simulate_learning_runs_soa(
             params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
@@ -132,7 +132,7 @@ def test_step_kernel_stream_nostore_bitwise():
     params, limits, seed_xs, seed_us, xcl, obstacle = setup
     scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 128,
                                  noise_on=True, dtype=DT)
-    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=12,
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=8,
               sim_step_budget=70)
     key = jax.random.PRNGKey(13)
     runs = []
@@ -141,7 +141,7 @@ def test_step_kernel_stream_nostore_bitwise():
                          dedup=True)):
         solver = build_fused_i2lqr_step(
             params, limits, 1.0, num_horizon=params.num_horizon,
-            max_steps=128, max_laps=8, max_iter=12, tile_rows=1,
+            max_steps=128, max_laps=8, max_iter=8, tile_rows=1,
             interpret=True, **variant)
         runs.append(simulate_learning_runs_soa(
             params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
@@ -159,6 +159,6 @@ def test_step_kernel_moving_obstacle_bitwise():
     obstacle = Obstacle.make(35.0, -16.0, 16.0, 16.0, spd=1.0,
                              moving_option=1, dtype=DT)
     composed, fused = _run_both(params, limits, seed_xs, seed_us, xcl,
-                                obstacle, b=128, num_laps=2, cap=12,
+                                obstacle, b=128, num_laps=2, cap=8,
                                 tile_rows=1)
     _assert_bitwise(composed, fused)

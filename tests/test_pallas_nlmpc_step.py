@@ -78,7 +78,7 @@ def test_nlmpc_step_kernel_bitwise_vs_composed():
     + selection + successor-guess advance in-kernel) must reproduce the
     composed path bitwise across a full learning run."""
     setup = _setup()
-    composed, fused = _run_both(*setup, b=128, num_laps=2, cap=12,
+    composed, fused = _run_both(*setup, b=128, num_laps=2, cap=8,
                                 tile_rows=1)
     _assert_bitwise(composed, fused)
 
@@ -88,7 +88,7 @@ def test_nlmpc_step_kernel_two_tiles_nsi2_bitwise():
     """Two kernel tiles and num_ss_iter=2: scalar-prefetch lap indexing with
     a not-yet-valid history row and in-kernel lexicographic row selection."""
     setup = _setup(num_ss_iter=2)
-    composed, fused = _run_both(*setup, b=256, num_laps=2, cap=12,
+    composed, fused = _run_both(*setup, b=256, num_laps=2, cap=8,
                                 tile_rows=1)
     _assert_bitwise(composed, fused)
 
@@ -102,14 +102,14 @@ def test_nlmpc_step_kernel_nostore_bitwise():
     params, limits, seed_xs, seed_us, xcl, obstacle = setup
     scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 128,
                                  noise_on=True, dtype=DT)
-    kw = dict(num_laps=2, max_steps=128, max_laps=8, max_lm_iters=12,
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, max_lm_iters=8,
               sim_step_budget=70)
     key = jax.random.PRNGKey(17)
     runs = []
     for store in (True, False):
         solver = build_fused_nlmpc_step(
             params, limits, 1.0, num_horizon=params.num_horizon,
-            max_steps=128, max_laps=8, max_iters=12, tile_rows=1,
+            max_steps=128, max_laps=8, max_iters=8, tile_rows=1,
             store_solutions=store, interpret=True)
         runs.append(simulate_nlmpc_runs_soa(
             params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
@@ -125,6 +125,6 @@ def test_nlmpc_step_kernel_moving_obstacle_bitwise():
     obstacle = Obstacle.make(35.0, -16.0, 16.0, 16.0, spd=1.0,
                              moving_option=1, dtype=DT)
     composed, fused = _run_both(params, limits, seed_xs, seed_us, xcl,
-                                obstacle, b=128, num_laps=2, cap=12,
+                                obstacle, b=128, num_laps=2, cap=8,
                                 tile_rows=1)
     _assert_bitwise(composed, fused)
