@@ -38,10 +38,10 @@ def main():
     from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
 
     on_tpu = jax.default_backend() == "tpu"
-    # B=32768 is the measured peak for the dedup step kernel (64.1k/s vs
-    # 62.5k at 65536); B=131072 runs fine (no device fault under the step
-    # kernel) but throughput is flat — the kernel is compute-bound.
-    batch = 32768 if on_tpu else 64
+    # B=49152 is the measured peak for the dedup step kernel (65.6k/s vs
+    # 64.2k at 32768 and 62.5k at 65536); B=131072 runs fine (no device
+    # fault under the step kernel) but is flat — the kernel is compute-bound.
+    batch = 49152 if on_tpu else 64
     num_laps = 3
     dtype = jnp.float32
 
