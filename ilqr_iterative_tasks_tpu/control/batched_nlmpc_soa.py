@@ -78,6 +78,12 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
     b = scenarios.x0.shape[-1]
     dt = jnp.asarray(dt, dtype)
     goal_tol = 0.8
+    if pallas_solver is not None:
+        built = getattr(pallas_solver, "max_iters", max_lm_iters)
+        if built != max_lm_iters:
+            raise ValueError(
+                f"pallas_solver was built with max_iters={built}; the "
+                f"simulator's lockstep cap is max_lm_iters={max_lm_iters}")
     if pallas_step_solver is not None:
         if pallas_solver is not None:
             raise ValueError("pallas_step_solver replaces pallas_solver — "
@@ -90,6 +96,13 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                 f"max_laps)=({s.k}, {s.nsi}, {s.num_horizon}, {s.max_steps}, "
                 f"{s.max_laps}); the simulator was called with "
                 f"({k}, {nsi}, {n}, {max_steps}, {max_laps})")
+        # the LM iteration cap is baked into the kernel at build time; a
+        # builder/simulator mismatch would diverge silently (cap 12 is the
+        # behavior knee — docs/PERF.md cap ladder)
+        if s.max_iters != max_lm_iters:
+            raise ValueError(
+                f"pallas_step_solver was built with max_iters={s.max_iters}; "
+                f"the simulator's lockstep cap is max_lm_iters={max_lm_iters}")
     # record scatters write row t_next == sim_step_budget on the final step
     # of a budget-exhausted lane, and goal_append one row past that — require
     # room so no scatter ever goes out of bounds

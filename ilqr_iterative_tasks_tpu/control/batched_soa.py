@@ -242,6 +242,13 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
     if dedup_passes and pallas_solver is None:
         raise ValueError("dedup_passes requires a pallas_solver "
                          "(built with with_skip=True)")
+    if pallas_solver is not None:
+        cap = 150 if solver_max_iter is None else solver_max_iter
+        built = getattr(pallas_solver, "max_iter", cap)
+        if built != cap:
+            raise ValueError(
+                f"pallas_solver was built with max_iter={built}; the "
+                f"simulator's lockstep cap is solver_max_iter={cap}")
     if pallas_step_solver is not None:
         # the whole-control-step fused kernel replaces the per-candidate
         # solver AND all of the selection glue — mutually exclusive backends
@@ -258,6 +265,14 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                 f"{s.max_laps}); the simulator was called with "
                 f"({params.num_ss_points}, {params.num_ss_iter}, "
                 f"{params.num_horizon}, {max_steps}, {max_laps})")
+        # the LM iteration cap is baked into the kernel at build time; a
+        # builder/simulator mismatch would diverge silently (the cap is
+        # behavior-relevant — see the cap ladder in docs/PERF.md)
+        cap = 150 if solver_max_iter is None else solver_max_iter
+        if s.max_iter != cap:
+            raise ValueError(
+                f"pallas_step_solver was built with max_iter={s.max_iter}; "
+                f"the simulator's lockstep cap is solver_max_iter={cap}")
     # the record scatter writes row t_next == sim_step_budget on the final
     # step of a budget-exhausted lane, and goal_append writes one row past
     # that — require room so no scatter ever goes out of bounds

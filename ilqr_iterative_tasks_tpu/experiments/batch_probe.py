@@ -56,7 +56,7 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
         kw["pallas_step_solver"] = build_fused_i2lqr_step(
             params, limits, 1.0, num_horizon=params.num_horizon,
             max_steps=max_steps, max_laps=8, max_iter=solver_max_iter,
-            tile_rows=8)
+            tile_rows=8, interpret=not on_tpu)
         backend = "pallas_step"
     elif on_tpu:
         kw["pallas_solver"] = build_fused_ilqr(
@@ -100,6 +100,7 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
     from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
     from ilqr_iterative_tasks_tpu.utils.params import LmpcParams, SystemLimits
 
+    on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.float32
     params = LmpcParams.make(ss_option="spaceVarying")
     limits = SystemLimits.make(dtype=dtype)
@@ -121,7 +122,7 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
         kw["pallas_step_solver"] = build_fused_nlmpc_step(
             params, limits, 1.0, num_horizon=params.num_horizon,
             max_steps=max_steps, max_laps=8, max_iters=max_lm_iters,
-            tile_rows=8)
+            tile_rows=8, interpret=not on_tpu)
         backend = "pallas_step"
     elif pallas:
         from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (

@@ -75,11 +75,20 @@ def bench_solver_throughput(batches):
     return out
 
 
-def bench_tpu_step_latency(batch: int = 1024, reps: int = 30):
+def bench_tpu_step_latency(batch: int = 1024, reps: int = 30,
+                           pipeline_depth: int = 10):
     """Latency of ONE fused control-step kernel on the device — the
     per-step real-time metric when the controller runs on the TPU (the
     reference budget is dt = 1 s, base.py:145-150). Uses the production
-    whole-step kernel (k=8, dedup on) against a seed-lap safe set."""
+    whole-step kernel (k=8, dedup on) against a seed-lap safe set.
+
+    ``batch=1024`` is ONE kernel tile (tile_rows=8 x 128 lanes) — the launch
+    quantum of the step kernel, so this IS the honest single-vehicle number:
+    controlling 1 vehicle costs the same as controlling 1024. Two numbers are
+    reported: blocking round-trip latency per dispatch (includes the host<->
+    device link, what a 1 Hz real-time controller would see), and the
+    amortized per-step time of a ``pipeline_depth``-deep async dispatch chain
+    (the device-side cost, link latency amortized away)."""
     import jax
     import jax.numpy as jnp
     if jax.default_backend() != "tpu":
@@ -127,9 +136,32 @@ def bench_tpu_step_latency(batch: int = 1024, reps: int = 30):
         run()
         times.append((time.perf_counter() - t0) * 1e3)
     times.sort()
+
+    def pctile(sorted_ms, q):
+        # nearest-rank percentile (the old int(len*0.99) indexed the max)
+        import math
+        return sorted_ms[min(len(sorted_ms) - 1,
+                             max(0, math.ceil(q * len(sorted_ms)) - 1))]
+
+    # amortized device-side time: enqueue pipeline_depth dispatches without
+    # blocking, block once at the end — the host<->device link round-trip is
+    # paid once per chain instead of once per step
+    amort = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(pipeline_depth):
+            out = solver(x, states, qfun, lap_len, lap_ids, lap_ok, obs_l,
+                         skip)
+        jax.block_until_ready(out)
+        amort.append((time.perf_counter() - t0) * 1e3 / pipeline_depth)
+    amort.sort()
     return {"batch": batch,
-            "p50_ms": round(times[len(times) // 2], 3),
-            "p99_ms": round(times[int(len(times) * 0.99)], 3),
+            "note": "batch=1024 is ONE kernel tile — the single-vehicle cost",
+            "p50_ms": round(pctile(times, 0.5), 3),
+            "p99_ms": round(pctile(times, 0.99), 3),
+            "p50_ms_per_step_pipelined": round(pctile(amort, 0.5), 3),
+            "p99_ms_per_step_pipelined": round(pctile(amort, 0.99), 3),
             "budget_ms": 1000.0}
 
 

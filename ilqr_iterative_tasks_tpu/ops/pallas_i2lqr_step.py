@@ -465,6 +465,7 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     solve_api.num_horizon = n
     solve_api.max_steps = max_steps
     solve_api.max_laps = max_laps
+    solve_api.max_iter = max_iter
     solve_api.dedup = dedup
     solve_api.stream_safe_set = stream_safe_set
     solve_api.store_solutions = store_solutions

@@ -168,4 +168,5 @@ def build_fused_ilqr(params: IlqrParams, limits: SystemLimits, dt: float,
     # a skip mask — enables inactive-lane compaction without a new parameter
     solve_api.with_skip = with_skip
     solve_api.tile = tile
+    solve_api.max_iter = max_iter
     return solve_api

@@ -169,4 +169,5 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
     # accepts a skip mask — enables inactive-lane compaction transparently
     solve_api.with_skip = with_skip
     solve_api.tile = tile
+    solve_api.max_iters = max_iters
     return solve_api

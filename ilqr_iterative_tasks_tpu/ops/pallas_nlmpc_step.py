@@ -285,5 +285,6 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     solve_api.num_horizon = n
     solve_api.max_steps = max_steps
     solve_api.max_laps = max_laps
+    solve_api.max_iters = max_iters
     solve_api.store_solutions = store_solutions
     return solve_api
