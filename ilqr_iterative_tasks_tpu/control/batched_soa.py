@@ -95,6 +95,10 @@ class SoaRunResult(NamedTuple):
     safe_set: tuple = ()  # (states, qfun, valid, lap_len) batch-trailing
     lap_count: jnp.ndarray = None  # scalar: laps stored incl. seed
     final_key: jnp.ndarray = None
+    # straggler instrumentation (step solver built with_stats=True only):
+    # (iters_useful (B,), iters_executed (B,), queue_floor (B,)) summed over
+    # the whole run — see build_fused_i2lqr_step(with_stats=True)
+    iter_stats: tuple = ()
 
 
 def _stable_partition(to_tail):
@@ -319,6 +323,8 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
 
     use_skip = (pallas_solver is not None and not dedup_passes
                 and getattr(pallas_solver, "with_skip", False))
+    stats_on = (pallas_step_solver is not None
+                and getattr(pallas_step_solver, "with_stats", False))
 
     def solve_step(ss, lap_count, x, obstacle, inactive=None):
         """One i2LQR calc_input for all B lanes.
@@ -354,12 +360,14 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             obs_l = obstacle_to_lanes(obstacle, b)
             lap_ids, lap_ok, skip = _step_solver_inputs(
                 lap_count, nsi, max_laps, inactive, b)
-            us_sel, shrink_f = pallas_step_solver(
+            out = pallas_step_solver(
                 x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
+            us_sel, shrink_f = out[0], out[1]
+            stats = tuple(out[2:5]) if stats_on else None
             u = us_sel[0]
             u_old = jnp.concatenate(
                 [us_sel[1:], jnp.zeros((1, 2, b), dtype)], axis=0)
-            return u, u_old, shrink_f > 0.5
+            return u, u_old, shrink_f > 0.5, stats
 
         states, qfun, valid, lap_len = ss
         zeros_ws = jnp.zeros((n, 2, b), dtype)
@@ -543,7 +551,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
         shrink = (idx_c + 1) > (chosen_len - 1)
         u = us_p[0]  # (2, B)
         u_old = jnp.concatenate([us_p[1:], jnp.zeros((1, 2, b), dtype)], axis=0)
-        return u, u_old, shrink
+        return u, u_old, shrink, None
 
     def run_lap(ss, lap_count, key):
         def step_cond(c):
@@ -552,11 +560,12 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
 
         def step_body(c):
             (x, t, done, obstacle, horizon_left, replay_pos, u_old, xs_rec,
-             key) = c
+             key, acc) = c
             in_replay = horizon_left < n  # (B,)
-            u_solve, u_old_new, shrink = solve_step(ss, lap_count, x,
-                                                    obstacle,
-                                                    inactive=done | in_replay)
+            u_solve, u_old_new, shrink, stats = solve_step(
+                ss, lap_count, x, obstacle, inactive=done | in_replay)
+            if stats_on:
+                acc = tuple(a + sv for a, sv in zip(acc, stats))
             # replay branch: stored input at replay_pos per lane. One-hot
             # mask-reduce instead of take_along_axis: the (2, B) gather runs
             # on the TPU scalar core (~1.7 ns/element measured) while the
@@ -605,17 +614,19 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)
             return (x_next, t_next, done_next, obstacle_next, horizon_next,
-                    replay_next, u_old_next, xs_rec, key)
+                    replay_next, u_old_next, xs_rec, key, acc)
 
         xs_rec = jnp.zeros((max_steps, 4, b), dtype)
         xs_rec = xs_rec.at[0].set(scenarios.x0)
+        acc0 = (tuple(jnp.zeros((b,), jnp.float32) for _ in range(3))
+                if stats_on else ())
         init = (scenarios.x0, jnp.zeros((b,), jnp.int32),
                 jnp.zeros((b,), bool), scenarios.obstacle,
                 jnp.full((b,), n, jnp.int32), jnp.zeros((b,), jnp.int32),
-                jnp.zeros((n, 2, b), dtype), xs_rec, key)
-        (x, t, done, _obs, _hl, _rp, _uo, xs_rec, key) = jax.lax.while_loop(
-            step_cond, step_body, init)
-        return xs_rec, t, done, key
+                jnp.zeros((n, 2, b), dtype), xs_rec, key, acc0)
+        (x, t, done, _obs, _hl, _rp, _uo, xs_rec, key, acc) = (
+            jax.lax.while_loop(step_cond, step_body, init))
+        return xs_rec, t, done, key, acc
 
     def _set_goal(xs_rec, pos, goal):
         """xs_rec: (T, 4, B); pos: (B,); goal: (4, B). Set row ``pos`` per lane."""
@@ -623,9 +634,11 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
         return jnp.where(onehot[:, None, :], goal[None, :, :], xs_rec)
 
     def lap_loop(lap_i, carry):
-        ss, key, lap_steps, lap_done = carry
+        ss, key, lap_steps, lap_done, stat_acc = carry
         lap_count = lap_i + lap0  # laps stored so far (seed + learned)
-        xs_rec, t, done, key = run_lap(ss, lap_count, key)
+        xs_rec, t, done, key, lap_acc = run_lap(ss, lap_count, key)
+        if stats_on:
+            stat_acc = tuple(a + sv for a, sv in zip(stat_acc, lap_acc))
         if goal_append:
             # goal appended as an extra recorded row (tests/ilqr_test.py:51)
             xs_rec = _set_goal(xs_rec, t + 1, scenarios.goal)
@@ -637,11 +650,15 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
         ss = add_lap(ss, lap_count, xs_rec, n_valid)
         lap_steps = lap_steps.at[lap_i].set(t)
         lap_done = lap_done.at[lap_i].set(done)
-        return ss, key, lap_steps, lap_done
+        return ss, key, lap_steps, lap_done, stat_acc
 
+    acc0 = (tuple(jnp.zeros((b,), jnp.float32) for _ in range(3))
+            if stats_on else ())
     init = (ss0, key, jnp.zeros((num_laps, b), jnp.int32),
-            jnp.zeros((num_laps, b), bool))
-    ss, key, lap_steps, lap_done = jax.lax.fori_loop(0, num_laps, lap_loop, init)
+            jnp.zeros((num_laps, b), bool), acc0)
+    ss, key, lap_steps, lap_done, stat_acc = jax.lax.fori_loop(
+        0, num_laps, lap_loop, init)
     return SoaRunResult(lap_steps=lap_steps, lap_done=lap_done,
                         final_x=scenarios.goal, safe_set=ss,
-                        lap_count=lap0 + num_laps, final_key=key)
+                        lap_count=lap0 + num_laps, final_key=key,
+                        iter_stats=stat_acc)

@@ -341,13 +341,21 @@ def make_tile_funcs(C: SimpleNamespace, n: int, shp):
     def unflatten_us(flat):
         return [(flat[2 * i], flat[2 * i + 1]) for i in range(n)]
 
-    def lm_solve(x0c, xt, obs, ui_flat, done0, max_iter):
+    def lm_solve(x0c, xt, obs, ui_flat, done0, max_iter,
+                 with_iter_stats=False):
         """Full LM loop. ui_flat: 2n arrays (shp); done0: f32 0/1 (shp).
 
-        Returns (us list of n 2-tuples, xs list of n+1 4-tuples, cost, dist).
+        Returns (us list of n 2-tuples, xs list of n+1 4-tuples, cost, dist),
+        plus (useful (shp), executed scalar f32) when ``with_iter_stats``:
+        ``useful`` is the per-lane iteration count until the lane froze
+        (0 for pre-done lanes, the full trip count for never-converged
+        lanes), ``executed`` the lockstep trip count every lane of the tile
+        paid — the straggler-waste instrumentation of docs/PERF.md.
         NOTE: ``done`` is carried as f32 0/1 — Mosaic (2026-08) miscompiles
         an i1 (8,128) vector in an scf.while carry (layout mismatch crash).
         """
+        n_head = 4 if with_iter_stats else 3
+
         def cond(carry):
             it, done_f = carry[0], carry[1]
             return (it < max_iter) & (jnp.min(done_f) < 0.5)
@@ -355,7 +363,7 @@ def make_tile_funcs(C: SimpleNamespace, n: int, shp):
         def body(carry):
             it, done_f, lamb = carry[0], carry[1], carry[2]
             done = done_f > 0.5
-            us = [clip_u(u) for u in unflatten_us(carry[3:])]
+            us = [clip_u(u) for u in unflatten_us(carry[n_head:])]
             xs = rollout(x0c, us)
             cost = cost_of(xs, us, xt)
             ks, Ks = backward(xs, us, lamb, xt, obs)
@@ -372,16 +380,29 @@ def make_tile_funcs(C: SimpleNamespace, n: int, shp):
             diverged = (~accept) & (lamb_next > C.max_lamb)
             done_next = jnp.maximum(
                 done_f, (converged | diverged).astype(jnp.float32))
-            return (it + 1, done_next, lamb_next) + us_next
+            head = (it + 1, done_next, lamb_next)
+            if with_iter_stats:
+                newly = done_next > done_f
+                it_done = jnp.where(
+                    newly, jnp.float32(1.0) * (it + 1), carry[3])
+                head = head + (it_done,)
+            return head + us_next
 
-        init = ((jnp.asarray(0), done0,
-                 jnp.full(shp, C.lamb0, jnp.float32)) + tuple(ui_flat))
-        final = jax.lax.while_loop(cond, body, init)
-        us = [clip_u(u) for u in unflatten_us(final[3:])]
+        head0 = (jnp.asarray(0), done0, jnp.full(shp, C.lamb0, jnp.float32))
+        if with_iter_stats:
+            head0 = head0 + (jnp.zeros(shp, jnp.float32),)
+        final = jax.lax.while_loop(cond, body, head0 + tuple(ui_flat))
+        us = [clip_u(u) for u in unflatten_us(final[n_head:])]
         xs = rollout(x0c, us)
         cost = cost_of(xs, us, xt)
         d = tuple(xs[n][i] - xt[i] for i in range(4))
         dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2] + d[3] * d[3])
+        if with_iter_stats:
+            executed = jnp.float32(1.0) * final[0]
+            it_done = final[3]
+            useful = jnp.where(it_done > 0.0, it_done,
+                               jnp.where(done0 > 0.5, 0.0, executed))
+            return us, xs, cost, dist, useful, executed
         return us, xs, cost, dist
 
     return SimpleNamespace(clip_u=clip_u, step=step, rollout=rollout,

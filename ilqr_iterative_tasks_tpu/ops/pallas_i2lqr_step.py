@@ -54,8 +54,10 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                            *, num_horizon: int, max_steps: int,
                            max_laps: int, max_iter: int = 150,
                            tile_rows: int = 8, dedup: bool = False,
+                           dom_skip: bool = False,
                            stream_safe_set: bool = False,
                            store_solutions: bool = True,
+                           with_stats: bool = False,
                            interpret: bool = False):
     """Factory: returns
     fn(x (4,B), states (max_laps,T,4,B), qfun (max_laps,T,B),
@@ -95,7 +97,38 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     instead of storing all nc=nsi*k solution sequences (nc*(2n+4) lanes of
     scratch). Costs ~1/nc extra solve work; the dedup cache then keeps only
     idx/ok/d (no cached solutions are needed — a dup winner just re-solves).
+
+    ``with_stats``: appends three outputs (iters_useful (B,), iters_executed
+    (B,), queue_floor (B,)) — per-lane LM iterations until the lane froze vs
+    lockstep trip counts paid, summed over every candidate solve of the step.
+    The straggler-waste fraction of docs/PERF.md is
+    1 - sum(useful)/sum(executed). ``queue_floor`` (tile-uniform) is the trip
+    count a per-lane candidate WORK QUEUE would pay: per relaxation pass,
+    max over the tile's lanes of (sum over candidates of the lane's own
+    useful iterations + 1 arrival trip per candidate) — the predicted cost of
+    restructuring the candidate fori_loop into one while_loop where each lane
+    streams through its own candidates. Solver decisions are unchanged.
+
+    ``dom_skip`` (requires num_ss_iter == 1): cost-dominance candidate skip.
+    The relaxed reach cost is bounded below by q + n + 100 (i_rel >= 1,
+    base.py:427-437), so once some candidate's solved cost is <= that bound
+    a later candidate cannot win the first-min argmin (ties keep the earlier
+    slot) — its lanes enter the LM loop pre-done and its stored cost is +inf.
+    Closed-loop decisions are BITWISE identical for nsi=1 (proof sketch: the
+    first candidate attaining the per-lane min cost is never skipped, because
+    every earlier candidate has strictly larger true cost, hence the running
+    best still exceeds the attainer's lower bound when it is processed;
+    candidate 0 is always solved so the all-infeasible fallback selection is
+    also unchanged) — validated in tests/test_pallas_i2lqr_step.py. Not
+    available for nsi > 1: the lexicographic row-min compares full per-lap
+    cost LISTS elementwise (base.py:462), so every entry's exact value can
+    matter. Composes with ``dedup``: dominated lanes' cache entries are
+    invalidated (their dist was never computed).
     """
+    if dom_skip and int(params.num_ss_iter) != 1:
+        raise ValueError("dom_skip requires num_ss_iter == 1 (the "
+                         "lexicographic row-min over laps needs exact "
+                         "per-candidate costs, base.py:462)")
     tile = tile_rows * 128
     n = num_horizon
     k = int(params.num_ss_points)
@@ -127,6 +160,8 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
         ll_ref = nxt()
         x_ref, obs_ref, skip_ref = nxt(), nxt(), nxt()
         us_ref, shrink_ref = nxt(), nxt()
+        if with_stats:
+            useful_ref, exec_ref, qfloor_ref = nxt(), nxt(), nxt()
         cand_xt, cand_q, cand_ok, cand_idx = nxt(), nxt(), nxt(), nxt()
         cost_sc = nxt()
         if store_solutions:
@@ -144,6 +179,10 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
         # caller but must not leak stale VMEM)
         us_ref[...] = jnp.zeros((n, 2, tile), jnp.float32)
         shrink_ref[...] = jnp.zeros((tile,), jnp.float32)
+        if with_stats:
+            useful_ref[...] = jnp.zeros((tile,), jnp.float32)
+            exec_ref[...] = jnp.zeros((tile,), jnp.float32)
+            qfloor_ref[...] = jnp.zeros((tile,), jnp.float32)
 
         @pl.when(jnp.max(1.0 - skip_f) > 0.5)
         def _():
@@ -153,6 +192,22 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
             zeros_ui = tuple(jnp.zeros(shp, jnp.float32)
                              for _ in range(2 * n))
             inf = jnp.float32(jnp.inf)
+
+            def do_solve(xt_s, done0_s, ui_s):
+                """lm_solve + (optional) straggler-stats accumulation.
+
+                Returns (us, xs, cost, dist, useful-or-None)."""
+                if with_stats:
+                    us, xs, cost, dist, useful, executed = F.lm_solve(
+                        x0c, xt_s, obs, ui_s, done0_s, max_iter,
+                        with_iter_stats=True)
+                    useful_ref[...] = useful_ref[...] + useful.reshape(tile)
+                    exec_ref[...] = (exec_ref[...]
+                                     + executed * jnp.ones((tile,),
+                                                           jnp.float32))
+                    return us, xs, cost, dist, useful
+                return F.lm_solve(x0c, xt_s, obs, ui_s, done0_s,
+                                  max_iter) + (None,)
 
             def load_lap(off):
                 """(st components, qf) for ss-lap ``off`` as (T, tile)."""
@@ -214,9 +269,21 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                 for off in range(nsi):
                     extract(off, xg)
 
-                def solve_ci(ci, _):
+                def solve_ci(ci, carry_sf):
+                    best_sf, upass = carry_sf
                     xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
                     okc = cand_ok[ci].reshape(shp) > 0.5
+                    if dom_skip:
+                        # cost lower bound q + n + 100 (i_rel >= 1); a lane
+                        # whose bound cannot beat the running best enters the
+                        # LM loop pre-done and stores +inf (see factory
+                        # docstring for the bitwise-identity argument).
+                        # Candidate 0 always solves: the all-infeasible
+                        # fallback applies slot 0's solution (base.py:462-468
+                        # argmin over an all-inf list picks index 0).
+                        lb = cand_q[ci].reshape(shp) + float(n) + 100.0
+                        dom = ((lb >= best_sf) | ~okc) & (ci > 0)
+                        dom_f = dom.astype(jnp.float32)
                     if dedup:
                         # cross-pass cache match within the same ss-lap row
                         # (mirrors the XLA dedup of batched_soa.py: first
@@ -261,8 +328,13 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                         done0 = jnp.maximum(skip_f, dup_f)
                     else:
                         done0 = skip_f
-                    us, xs, _cost, dist = F.lm_solve(
-                        x0c, xt, obs, zeros_ui, done0, max_iter)
+                    if dom_skip:
+                        done0 = jnp.maximum(done0, dom_f)
+                    us, xs, _cost, dist, useful_s = do_solve(xt, done0,
+                                                             zeros_ui)
+                    if with_stats:
+                        # queue-floor: a lane's own iterations + 1 arrival
+                        upass = upass + useful_s + (1.0 - skip_f)
                     if dedup:
                         dist = jnp.where(dup2, sub_d.reshape(shp), dist)
                     if store_solutions:
@@ -295,6 +367,8 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                         dist <= unit * consts.max_relax_iter,
                         q + float(n) + 100.0 * i_rel, inf)
                     cost = jnp.where(okc, cost, inf)
+                    if dom_skip:
+                        cost = jnp.where(dom, inf, cost)
                     cost_sc[ci] = cost.reshape(tile)
                     if dedup:
                         # store the (post-substitution) result for reuse by
@@ -303,7 +377,11 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                         def _store():
                             slot = p_idx * nc + ci
                             cache_idx[slot] = my_idx
-                            cache_ok[slot] = cand_ok[ci]
+                            # dominated lanes never computed their dist —
+                            # their cache entries must not be substituted
+                            cache_ok[slot] = (
+                                cand_ok[ci] * (1.0 - dom_f.reshape(tile))
+                                if dom_skip else cand_ok[ci])
                             if store_solutions:
                                 for i in range(n):
                                     cache_us[slot, i, 0] = sol_us[ci, i, 0]
@@ -311,9 +389,14 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                                 for c in range(4):
                                     cache_xl[slot, c] = sol_xl[ci, c]
                             cache_d[slot] = dist.reshape(tile)
-                    return 0
+                    best_next = (jnp.minimum(best_sf, cost) if dom_skip
+                                 else best_sf)
+                    return (best_next, upass)
 
-                jax.lax.fori_loop(0, nc, solve_ci, 0)
+                carry0 = (jnp.full(shp, inf) if dom_skip else jnp.float32(0),
+                          jnp.zeros(shp, jnp.float32) if with_stats
+                          else jnp.float32(0))
+                _best, upass_fin = jax.lax.fori_loop(0, nc, solve_ci, carry0)
 
                 # --- selection: lexicographic row-min over the nsi laps,
                 # then first-min argmin over k (shared tile helper) ---
@@ -353,8 +436,10 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                                 sel, cand_xt[ci, c].reshape(shp), xt_sel[c])
                         idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
                                             idx_sel)
-                    us_w, xs_w, _cw, _dw = F.lm_solve(
-                        x0c, tuple(xt_sel), obs, zeros_ui, skip_f, max_iter)
+                    us_w, xs_w, _cw, _dw, useful_w = do_solve(
+                        tuple(xt_sel), skip_f, zeros_ui)
+                    if with_stats:
+                        upass_fin = upass_fin + useful_w + (1.0 - skip_f)
                     us_sel = []
                     for i in range(n):
                         us_sel.append(us_w[i][0])
@@ -365,6 +450,10 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                                         ll_ref[s_ref[off]].reshape(shp),
                                         len_sel)
                 shrink = ((idx_sel + 1) > (len_sel - 1)).astype(jnp.float32)
+                if with_stats:
+                    qfloor_ref[...] = (qfloor_ref[...]
+                                       + jnp.max(upass_fin)
+                                       * jnp.ones((tile,), jnp.float32))
                 return (tuple(xl_sel), tuple(us_sel), shrink)
 
             xg0 = x0c
@@ -415,7 +504,11 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
             out_specs=[
                 pl.BlockSpec((n, 2, tile), lambda i, s: (0, 0, i)),
                 pl.BlockSpec((tile,), lambda i, s: (i,)),
-            ],
+            ] + ([
+                pl.BlockSpec((tile,), lambda i, s: (i,)),
+                pl.BlockSpec((tile,), lambda i, s: (i,)),
+                pl.BlockSpec((tile,), lambda i, s: (i,)),
+            ] if with_stats else []),
             scratch_shapes=[
                 pltpu.VMEM((nc, 4, tile), jnp.float32),   # cand_xt
                 pltpu.VMEM((nc, tile), jnp.float32),      # cand_q
@@ -449,7 +542,11 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
             out_shape=[
                 jax.ShapeDtypeStruct((n, 2, b), jnp.float32),
                 jax.ShapeDtypeStruct((b,), jnp.float32),
-            ],
+            ] + ([
+                jax.ShapeDtypeStruct((b,), jnp.float32),
+                jax.ShapeDtypeStruct((b,), jnp.float32),
+                jax.ShapeDtypeStruct((b,), jnp.float32),
+            ] if with_stats else []),
             interpret=interpret,
         )(*args)
 
@@ -467,6 +564,8 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     solve_api.max_laps = max_laps
     solve_api.max_iter = max_iter
     solve_api.dedup = dedup
+    solve_api.dom_skip = dom_skip
     solve_api.stream_safe_set = stream_safe_set
     solve_api.store_solutions = store_solutions
+    solve_api.with_stats = with_stats
     return solve_api
