@@ -405,8 +405,86 @@ def make_tile_funcs(C: SimpleNamespace, n: int, shp):
             return us, xs, cost, dist, useful, executed
         return us, xs, cost, dist
 
+    def lm_solve_multi(x0c, xts, obs, ui_flats, done0s, max_iter):
+        """G independent LM solves interleaved in ONE while_loop.
+
+        xts / ui_flats / done0s: length-G lists of (xt 4-tuple, 2n arrays,
+        f32 0/1 done mask). The loop runs while ANY instance has an
+        unfinished lane, i.e. trips = max over instances — but the G
+        per-iteration bodies are INDEPENDENT dataflow, so Mosaic can overlap
+        them across VPU issue slots (the single-instance body is partially
+        latency-bound on the Riccati dependence chain). Per-instance results
+        are BITWISE identical to ``lm_solve``: done lanes freeze (us, lamb,
+        done are where-masked), so extra trips on an already-converged
+        instance are no-ops — the same lockstep-invariance argument as the
+        step kernel's candidate fori_loop.
+
+        Returns a length-G list of (us, xs, cost, dist) tuples.
+        """
+        g_n = len(xts)
+        stride = 2 * n
+
+        def cond(carry):
+            it = carry[0]
+            alive = jnp.min(carry[1]) < 0.5
+            for g in range(1, g_n):
+                alive = alive | (jnp.min(carry[1 + g]) < 0.5)
+            return (it < max_iter) & alive
+
+        def body(carry):
+            it = carry[0]
+            dones = list(carry[1:1 + g_n])
+            lambs = list(carry[1 + g_n:1 + 2 * g_n])
+            base = 1 + 2 * g_n
+            new_dones, new_lambs, new_us = [], [], []
+            for g in range(g_n):
+                done_f, lamb = dones[g], lambs[g]
+                done = done_f > 0.5
+                us = [clip_u(u) for u in
+                      unflatten_us(carry[base + g * stride:
+                                         base + (g + 1) * stride])]
+                xs = rollout(x0c, us)
+                cost = cost_of(xs, us, xts[g])
+                ks, Ks = backward(xs, us, lamb, xts[g], obs)
+                us_new, cost_new = forward(xs, us, ks, Ks, xts[g])
+                accept = cost_new < cost
+                upd = accept & ~done
+                new_us.extend(
+                    jnp.where(upd, un, uc)
+                    for un, uc in zip(flatten_us(us_new), flatten_us(us)))
+                new_lambs.append(jnp.where(
+                    done, lamb, jnp.where(accept, lamb / C.lamb_factor,
+                                          lamb * C.lamb_factor)))
+                converged = accept & (jnp.abs((cost_new - cost) / cost)
+                                      < C.eps)
+                diverged = (~accept) & (new_lambs[g] > C.max_lamb)
+                new_dones.append(jnp.maximum(
+                    done_f, (converged | diverged).astype(jnp.float32)))
+            return ((it + 1,) + tuple(new_dones) + tuple(new_lambs)
+                    + tuple(new_us))
+
+        init = ((jnp.asarray(0),) + tuple(done0s)
+                + tuple(jnp.full(shp, C.lamb0, jnp.float32)
+                        for _ in range(g_n)))
+        for ui in ui_flats:
+            init = init + tuple(ui)
+        final = jax.lax.while_loop(cond, body, init)
+        base = 1 + 2 * g_n
+        out = []
+        for g in range(g_n):
+            us = [clip_u(u) for u in
+                  unflatten_us(final[base + g * stride:
+                                     base + (g + 1) * stride])]
+            xs = rollout(x0c, us)
+            cost = cost_of(xs, us, xts[g])
+            d = tuple(xs[n][i] - xts[g][i] for i in range(4))
+            dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+                            + d[3] * d[3])
+            out.append((us, xs, cost, dist))
+        return out
+
     return SimpleNamespace(clip_u=clip_u, step=step, rollout=rollout,
                            cost_of=cost_of, obs_terms=obs_terms,
                            backward=backward, forward=forward,
                            flatten_us=flatten_us, unflatten_us=unflatten_us,
-                           lm_solve=lm_solve)
+                           lm_solve=lm_solve, lm_solve_multi=lm_solve_multi)

@@ -54,7 +54,7 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                            *, num_horizon: int, max_steps: int,
                            max_laps: int, max_iter: int = 150,
                            tile_rows: int = 8, dedup: bool = False,
-                           dom_skip: bool = False,
+                           dom_skip: bool = False, group: int = 1,
                            stream_safe_set: bool = False,
                            store_solutions: bool = True,
                            with_stats: bool = False,
@@ -124,11 +124,23 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     cost LISTS elementwise (base.py:462), so every entry's exact value can
     matter. Composes with ``dedup``: dominated lanes' cache entries are
     invalidated (their dist was never computed).
+
+    ``group``: number of candidates solved per interleaved while_loop
+    instance (lm_solve_multi). The single-candidate LM body is partially
+    latency-bound on its Riccati dependence chain; grouping G independent
+    candidates fills the idle VPU issue slots at the price of running each
+    group to the max of its members' trip counts. Bitwise-neutral (done
+    lanes freeze; per-lane results are lockstep-invariant — validated in
+    tests/test_pallas_i2lqr_step.py).
     """
     if dom_skip and int(params.num_ss_iter) != 1:
         raise ValueError("dom_skip requires num_ss_iter == 1 (the "
                          "lexicographic row-min over laps needs exact "
                          "per-candidate costs, base.py:462)")
+    if (params.num_ss_iter * params.num_ss_points) % group != 0:
+        raise ValueError(f"group={group} must divide nsi*k")
+    if group > 1 and with_stats:
+        raise ValueError("with_stats is only instrumented for group=1")
     tile = tile_rows * 128
     n = num_horizon
     k = int(params.num_ss_points)
@@ -269,10 +281,14 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                 for off in range(nsi):
                     extract(off, xg)
 
-                def solve_ci(ci, carry_sf):
-                    best_sf, upass = carry_sf
+                def prep(ci, best_sf):
+                    """Candidate ``ci``'s solve inputs: terminal state,
+                    pre-done mask (skip/dup/dominated), and the aux record
+                    ``fin`` needs to post-process the solve."""
+                    aux = {}
                     xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
                     okc = cand_ok[ci].reshape(shp) > 0.5
+                    aux["okc"] = okc
                     if dom_skip:
                         # cost lower bound q + n + 100 (i_rel >= 1); a lane
                         # whose bound cannot beat the running best enters the
@@ -284,6 +300,7 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                         lb = cand_q[ci].reshape(shp) + float(n) + 100.0
                         dom = ((lb >= best_sf) | ~okc) & (ci > 0)
                         dom_f = dom.astype(jnp.float32)
+                        aux["dom"], aux["dom_f"] = dom, dom_f
                     if dedup:
                         # cross-pass cache match within the same ss-lap row
                         # (mirrors the XLA dedup of batched_soa.py: first
@@ -326,16 +343,26 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                         dup_f = dup.reshape(shp)
                         dup2 = dup_f > 0.5
                         done0 = jnp.maximum(skip_f, dup_f)
+                        aux["dup2"], aux["sub_d"] = dup2, sub_d
+                        aux["my_idx"] = my_idx
+                        if store_solutions:
+                            aux["sub_us"], aux["sub_xl"] = sub_us, sub_xl
                     else:
                         done0 = skip_f
                     if dom_skip:
                         done0 = jnp.maximum(done0, dom_f)
-                    us, xs, _cost, dist, useful_s = do_solve(xt, done0,
-                                                             zeros_ui)
-                    if with_stats:
-                        # queue-floor: a lane's own iterations + 1 arrival
-                        upass = upass + useful_s + (1.0 - skip_f)
+                    return xt, done0, aux
+
+                def fin(ci, aux, us, xs, dist, best_sf):
+                    """Post-solve per candidate: cached-dup substitution,
+                    solution store, relaxed reach cost, cache store; returns
+                    the updated running best."""
+                    okc = aux["okc"]
                     if dedup:
+                        dup2, sub_d = aux["dup2"], aux["sub_d"]
+                        my_idx = aux["my_idx"]
+                        if store_solutions:
+                            sub_us, sub_xl = aux["sub_us"], aux["sub_xl"]
                         dist = jnp.where(dup2, sub_d.reshape(shp), dist)
                     if store_solutions:
                         if dedup:
@@ -368,7 +395,7 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                         q + float(n) + 100.0 * i_rel, inf)
                     cost = jnp.where(okc, cost, inf)
                     if dom_skip:
-                        cost = jnp.where(dom, inf, cost)
+                        cost = jnp.where(aux["dom"], inf, cost)
                     cost_sc[ci] = cost.reshape(tile)
                     if dedup:
                         # store the (post-substitution) result for reuse by
@@ -380,7 +407,8 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                             # dominated lanes never computed their dist —
                             # their cache entries must not be substituted
                             cache_ok[slot] = (
-                                cand_ok[ci] * (1.0 - dom_f.reshape(tile))
+                                cand_ok[ci]
+                                * (1.0 - aux["dom_f"].reshape(tile))
                                 if dom_skip else cand_ok[ci])
                             if store_solutions:
                                 for i in range(n):
@@ -389,14 +417,44 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                                 for c in range(4):
                                     cache_xl[slot, c] = sol_xl[ci, c]
                             cache_d[slot] = dist.reshape(tile)
-                    best_next = (jnp.minimum(best_sf, cost) if dom_skip
-                                 else best_sf)
-                    return (best_next, upass)
+                    return (jnp.minimum(best_sf, cost) if dom_skip
+                            else best_sf)
+
+                def solve_group(gi, carry_sf):
+                    """``group`` candidates solved in ONE interleaved
+                    while_loop (see lm_solve_multi): independent dataflow
+                    per member fills VPU issue slots the single-candidate
+                    Riccati chain leaves idle. group=1 is the plain path.
+                    Within a group, dominance tests use the running best
+                    from BEFORE the group (members solve simultaneously) —
+                    a weaker but still sound skip condition."""
+                    best_sf, upass = carry_sf
+                    if group == 1:
+                        ci = gi
+                        xt, done0, aux = prep(ci, best_sf)
+                        us, xs, _cost, dist, useful_s = do_solve(
+                            xt, done0, zeros_ui)
+                        if with_stats:
+                            # queue-floor: a lane's own iterations + 1 arrival
+                            upass = upass + useful_s + (1.0 - skip_f)
+                        best_sf = fin(ci, aux, us, xs, dist, best_sf)
+                    else:
+                        cis = [gi * group + g for g in range(group)]
+                        preps = [prep(ci, best_sf) for ci in cis]
+                        outs = F.lm_solve_multi(
+                            x0c, [p[0] for p in preps], obs,
+                            [zeros_ui] * group, [p[1] for p in preps],
+                            max_iter)
+                        for ci, (xt, _d0, aux), (us, xs, _cost, dist) in zip(
+                                cis, preps, outs):
+                            best_sf = fin(ci, aux, us, xs, dist, best_sf)
+                    return (best_sf, upass)
 
                 carry0 = (jnp.full(shp, inf) if dom_skip else jnp.float32(0),
                           jnp.zeros(shp, jnp.float32) if with_stats
                           else jnp.float32(0))
-                _best, upass_fin = jax.lax.fori_loop(0, nc, solve_ci, carry0)
+                _best, upass_fin = jax.lax.fori_loop(0, nc // group,
+                                                     solve_group, carry0)
 
                 # --- selection: lexicographic row-min over the nsi laps,
                 # then first-min argmin over k (shared tile helper) ---
@@ -565,6 +623,7 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     solve_api.max_iter = max_iter
     solve_api.dedup = dedup
     solve_api.dom_skip = dom_skip
+    solve_api.group = group
     solve_api.stream_safe_set = stream_safe_set
     solve_api.store_solutions = store_solutions
     solve_api.with_stats = with_stats

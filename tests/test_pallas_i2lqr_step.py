@@ -122,6 +122,65 @@ def test_step_kernel_dedup_bitwise_neutral():
 
 
 @pytest.mark.slow
+def test_step_kernel_dom_skip_group_bitwise_neutral():
+    """Cost-dominance candidate skip (dom_skip) and interleaved candidate
+    groups (group=2) must be bitwise-neutral vs the plain step kernel in a
+    full closed-loop learning sim: a dominated candidate's relaxed-reach
+    cost lower bound q+n+100 cannot beat the running best under first-min
+    argmin (candidate 0 always solves for the all-infeasible fallback), and
+    grouped solves freeze done lanes exactly as the sequential fori does."""
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 128,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=8,
+              sim_step_budget=70)
+    key = jax.random.PRNGKey(21)
+    runs = []
+    for variant in (dict(dedup=True),
+                    dict(dedup=True, dom_skip=True, group=2)):
+        solver = build_fused_i2lqr_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=8, max_iter=8, tile_rows=1,
+            interpret=True, **variant)
+        runs.append(simulate_learning_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+            pallas_step_solver=solver, **kw))
+    _assert_bitwise(runs[0], runs[1])
+
+
+def test_step_kernel_with_stats_decisions_unchanged():
+    """with_stats instrumentation appends outputs without touching the
+    solver decisions; useful <= executed, skip lanes report 0 useful."""
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import obstacle_to_lanes
+    b, t_rows, max_laps = 128, 32, 2
+    rng = np.random.default_rng(3)
+    states = jnp.asarray(rng.uniform(0, 12, (max_laps, t_rows, 4, b)), DT)
+    qfun = jnp.asarray(
+        np.maximum(20 - np.arange(t_rows), 0)[None, :, None]
+        * np.ones((max_laps, 1, b)), DT)
+    lap_len = jnp.full((max_laps, b), 20, jnp.int32)
+    obs_l = obstacle_to_lanes(obstacle.as_pytree(dtype=DT)
+                              if hasattr(obstacle, "as_pytree") else obstacle,
+                              b)
+    x = jnp.asarray(rng.uniform(0, 5, (4, b)), DT)
+    skip = jnp.zeros((b,), jnp.float32).at[96:].set(1.0)
+    lap_ids = jnp.zeros((1,), jnp.int32)
+    lap_ok = jnp.ones((1,), jnp.int32)
+    kw = dict(num_horizon=params.num_horizon, max_steps=t_rows,
+              max_laps=max_laps, max_iter=8, tile_rows=1, interpret=True)
+    base = build_fused_i2lqr_step(params, limits, 1.0, **kw)
+    inst = build_fused_i2lqr_step(params, limits, 1.0, with_stats=True, **kw)
+    us0, sh0 = base(x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
+    us1, sh1, useful, execd, qfloor = inst(
+        x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
+    assert jnp.all(us0 == us1) and jnp.all(sh0 == sh1)
+    assert jnp.all(execd >= useful)
+    assert float(jnp.max(useful[96:])) == 0.0
+    assert jnp.all(qfloor >= 0.0)
+
+
+@pytest.mark.slow
 def test_step_kernel_stream_nostore_bitwise():
     """stream_safe_set (HBM-resident safe set + per-extraction DMA) and
     store_solutions=False (winner re-solve instead of per-candidate solution
