@@ -244,18 +244,34 @@ def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp):
         return uf, f
 
     def feasibility_solve(x0c, xt, obs, warm, done_init, max_iters,
-                          num_starts):
+                          num_starts, skip_converged_starts=False):
         """Full multi-start solve + feasibility verdict on the rollout.
 
         warm: list of nvar arrays (CLIPPED warm start). Returns
         (us list of n 2-tuples, xs, term_err, feasible f32).
+
+        ``skip_converged_starts``: lanes whose warm-start solve already hit
+        the global LM convergence threshold (f < 1e-14) enter the zeros
+        start pre-done — a tile whose lanes all converged warm skips the
+        entire second while_loop. NOT bitwise-neutral: the fully-solved
+        zeros start can land at a smaller residual and flip the selected
+        input sequence (both solutions are feasible to 1e-7 in state space,
+        but the closed-loop trajectory may differ) — gate behind the
+        behavior-level parity envelope (docs/PARITY.md, tests/
+        test_behavior_envelope.py). Skipped lanes keep the warm solution:
+        the unsolved zeros residual is >= 1e-14 > f_best, so ``better``
+        stays False.
         """
         inv_w2, inv_h2, present = obs[2], obs[3], obs[6]
         # start 0: clipped warm start; start 1: zeros (lm_shooting.py:120-123)
         uf_best, f_best = solve_from(x0c, xt, obs, warm, done_init, max_iters)
         for _ in range(1, num_starts):
+            zdone = done_init
+            if skip_converged_starts:
+                zdone = jnp.maximum(
+                    done_init, (f_best < 1e-14).astype(jnp.float32))
             zero_start = [jnp.zeros(shp, jnp.float32) for _ in range(nvar)]
-            uf_z, f_z = solve_from(x0c, xt, obs, zero_start, done_init,
+            uf_z, f_z = solve_from(x0c, xt, obs, zero_start, zdone,
                                    max_iters)
             better = f_z < f_best  # strict: warm wins ties (argmin-first)
             uf_best = [jnp.where(better, a, b)

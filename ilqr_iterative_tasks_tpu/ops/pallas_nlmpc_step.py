@@ -41,6 +41,7 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                            max_laps: int, max_iters: int = 60,
                            num_starts: int = 2, tile_rows: int = 8,
                            store_solutions: bool = True,
+                           zeros_skip: bool = False,
                            interpret: bool = False):
     """Factory: returns
     fn(x (4,B), guess (4,B), u_warm (n,2,B), states (max_laps,T,4,B),
@@ -56,6 +57,12 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     Saves the nc*2n-lane solution scratch: nsi=2 overflows the 16 MB scoped
     VMEM by 52 KB with storage, and fits without (the multi-start LM body
     carries more live state than the iLQR kernel's).
+
+    ``zeros_skip``: lanes whose warm-start solve already converged
+    (f < 1e-14) skip the zeros multi-start (see
+    _pallas_nlmpc_core.feasibility_solve). NOT bitwise-neutral — gated by
+    the behavior-level parity envelope (docs/PARITY.md,
+    tests/test_behavior_envelope.py).
     """
     tile = tile_rows * 128
     n = num_horizon
@@ -132,7 +139,8 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
             def solve_ci(ci, _):
                 xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
                 us, _xs, _te, feasible = F.feasibility_solve(
-                    x0c, xt, obs, warm, skip_f, max_iters, num_starts)
+                    x0c, xt, obs, warm, skip_f, max_iters, num_starts,
+                    skip_converged_starts=zeros_skip)
                 if store_solutions:
                     for i in range(n):
                         sol_us[ci, i, 0] = us[i][0].reshape(tile)
@@ -181,7 +189,7 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                                         idx_sel)
                 us_w, _xs_w, _te_w, _fe_w = F.feasibility_solve(
                     x0c, tuple(xt_sel), obs, warm, skip_f, max_iters,
-                    num_starts)
+                    num_starts, skip_converged_starts=zeros_skip)
                 us_sel = []
                 for i in range(n):
                     us_sel.append(us_w[i][0])
@@ -287,4 +295,5 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     solve_api.max_laps = max_laps
     solve_api.max_iters = max_iters
     solve_api.store_solutions = store_solutions
+    solve_api.zeros_skip = zeros_skip
     return solve_api

@@ -1,0 +1,83 @@
+"""Behavior-level parity envelope gates for non-bitwise optimizations.
+
+The fused kernels' bitwise tests gate decision-identical optimizations; the
+envelope (utils/envelope.py, docs/PARITY.md) gates optimizations that change
+floating-point trajectories but must not change closed-loop BEHAVIOR. Each
+gated optimization gets one test here running the full learning sim with
+and without it over the same scenario batch and PRNG key.
+
+Currently gated:
+- NLMPC zeros-start skip (ops/_pallas_nlmpc_core.feasibility_solve
+  skip_converged_starts): when the warm-start solve already hits the global
+  LM convergence threshold f < 1e-14, the zeros multi-start is entered
+  pre-done. The fully-solved zeros start can land at a smaller residual and
+  flip the selected input sequence (reference multi-start semantics:
+  ops/lm_shooting.py:120-123); both winners satisfy the reference
+  feasibility test (nonlinear_lmpc.py:186-197), so the closed loop may
+  differ per lane but not in behavior.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
+    simulate_nlmpc_runs_soa)
+from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
+from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
+    build_fused_nlmpc_step)
+from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+from ilqr_iterative_tasks_tpu.utils.envelope import (
+    assert_behavior_envelope, compare_runs)
+from ilqr_iterative_tasks_tpu.utils.params import LmpcParams, SystemLimits
+
+DT = jnp.float32
+
+
+@pytest.mark.slow
+def test_nlmpc_zeros_skip_within_envelope():
+    params = LmpcParams.make(ss_option="spaceVarying")
+    limits = SystemLimits.make(dtype=DT)
+    xcl, ucl = seed_trajectory(1.0)
+    seed_xs = jnp.zeros((128, 4), DT).at[:121].set(jnp.asarray(xcl, DT))
+    seed_us = jnp.zeros((128, 2), DT).at[:120].set(jnp.asarray(ucl, DT))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    b = 128
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, max_lm_iters=12,
+              sim_step_budget=70)
+    key = jax.random.PRNGKey(5)
+    runs = []
+    for zs in (False, True):
+        solver = build_fused_nlmpc_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=8, max_iters=12, tile_rows=1,
+            zeros_skip=zs, interpret=True)
+        runs.append(simulate_nlmpc_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+            pallas_step_solver=solver, **kw))
+    rec = assert_behavior_envelope(runs[0], runs[1])
+    # the skip must actually be non-trivial on this config (guards against
+    # the gate silently passing because the flag stopped doing anything)
+    assert rec["frac_lanes_changed"] > 0.0
+
+
+def test_envelope_helper_rejects_material_drift():
+    """The envelope must actually fail when behavior drifts: simulate a
+    candidate whose median lap time regressed by one step."""
+    class R:
+        def __init__(self, steps, done):
+            self.lap_steps = steps
+            self.lap_done = done
+
+    steps = np.full((2, 64), 24, np.int32)
+    done = np.ones((2, 64), bool)
+    base = R(steps, done)
+    worse = R(steps + 1, done)
+    with pytest.raises(AssertionError):
+        assert_behavior_envelope(base, worse)
+    rec = compare_runs(base, worse)
+    assert rec["delta_max"] == 1.0
