@@ -19,6 +19,37 @@ Batch-relevant semantics (as in the AoS version):
 - no horizon shrink (base.py:640-654): laps end by goal proximity, which
   fires before a shrink would (validated against the host controller).
 - all B scenarios run in lockstep with done-freezing, lap counting global.
+
+All three reference safe-set options are supported (base.py:569-571 selection
+dispatch), resolved statically from the params struct:
+- ``ss_option="spaceVarying"`` (default, the fast path above),
+- ``ss_option="timeVarying"`` — advancing per-lap index windows
+  (base.py:537-546): window base = lap_cost - min_cost + N at lap start
+  (base.py:679-690), advanced one index per control step, validity
+  0 < idx < lap_len, falling back to the lap's last point when the window
+  passes the end;
+- ``all_ss_point=True`` — every stored point of each lap is a candidate
+  (base.py:569-571); ``all_ss_iter=True`` widens the lap window to every
+  stored lap (base.py:564-567).
+
+The timeVarying/all modes routinely select a lap's FINAL point, which in the
+reference triggers the shrinking-horizon branch (base.py:640-654: warm-start
+reassembly without successor append + num_horizon-1 re-solves). These modes
+therefore carry a per-lane effective horizon, solved exactly via the
+``m_lanes`` row/column masking of ops/lm_shooting_soa.py (bitwise equal to a
+reduced-horizon solve), with the horizon-1 pure reach check of
+nonlinear_lmpc.py:199-213 applied at the floor. They are also exactly
+faithful on two points where the validated spaceVarying fast path keeps a
+documented behavior-neutral shortcut: the warm start appends the STORED
+input of the chosen point (base.py:630-639) instead of repeating the last
+predicted input, and guess/warm-start/horizon advances freeze on an
+all-infeasible step (the host controller raises before any bookkeeping).
+Candidate-row comparison uses ragged Python-list semantics: the reference's
+per-lap cost lists are ragged (a window may have fewer than k valid points),
+and Python's list ``min`` ranks a list that is a strict prefix of another
+BELOW it — emulated here by padding absent tail slots with -inf in a
+comparison-only tensor (real costs keep +inf so within-row argmin and the
+all-infeasible test are unchanged).
 """
 
 from __future__ import annotations
@@ -52,7 +83,7 @@ class NlmpcSoaRunResult(NamedTuple):
 @partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
                                    "goal_append", "sim_step_budget",
                                    "max_lm_iters", "pallas_solver",
-                                   "pallas_step_solver"))
+                                   "pallas_step_solver", "faithful"))
 def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             scenarios: SoaScenarios, seed_xs, seed_us,
                             seed_len, dt, key, *, num_laps: int,
@@ -62,6 +93,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             max_lm_iters: int = 60,
                             pallas_solver=None,
                             pallas_step_solver=None,
+                            faithful: bool = False,
                             resume_from=None) -> NlmpcSoaRunResult:
     """Seed + ``num_laps`` NLMPC learning laps for B scenarios, batch-trailing.
 
@@ -78,6 +110,26 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
     b = scenarios.x0.shape[-1]
     dt = jnp.asarray(dt, dtype)
     goal_tol = 0.8
+    # safe-set option dispatch (base.py:564-575): all_ss_point overrides
+    # ss_option; all_ss_iter widens the lap window to every stored lap.
+    # All are static struct fields, so each combination is its own trace.
+    all_point = bool(params.all_ss_point)
+    all_iter = bool(params.all_ss_iter)
+    mode = "all" if all_point else str(params.ss_option)
+    if mode not in ("all", "timeVarying", "spaceVarying"):
+        raise ValueError(f"unknown ss_option {mode!r}")
+    # ``faithful``: route plain spaceVarying through the exactly-faithful
+    # general path too (stored-input warm append + infeasible-step freeze +
+    # shrink) instead of the fast path's documented ±1-step shortcuts —
+    # measured: host [32, 23, 23] laps, faithful path identical, fast path
+    # [33, 23, 23] (tests/test_batched_nlmpc_soa.py).
+    general = (mode != "spaceVarying") or all_iter or faithful
+    if general and (pallas_solver is not None
+                    or pallas_step_solver is not None):
+        raise ValueError(
+            "the fused Pallas kernels support the default spaceVarying "
+            f"candidate regime only; ss mode ({mode}, all_ss_iter="
+            f"{all_iter}) requires the XLA SoA backend (pass no solver)")
     if pallas_solver is not None:
         built = getattr(pallas_solver, "max_iters", max_lm_iters)
         if built != max_lm_iters:
@@ -277,16 +329,238 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         u_warm_new = jnp.concatenate([us_sel[1:], us_sel[-1:]], axis=0)
         return us_sel[0], feasible_any, new_guess, u_warm_new
 
+    def _lap_window(lap_count, off):
+        """(lap_id_c, lap_ok) for safe-set row ``off`` under the lap-window
+        mode: last-nsi (base.py:564-567) or every stored lap."""
+        if all_iter:
+            return jnp.asarray(off, jnp.int32), off < lap_count
+        lap_id = lap_count - nsi + off
+        return jnp.clip(lap_id, 0, max_laps - 1).astype(jnp.int32), lap_id >= 0
+
+    n_offs = max_laps if all_iter else nsi
+
+    def solve_step_general(ss, lap_count, x, guess, u_warm, t, hzn,
+                           obstacle):
+        """One NLMPC calc_input under the timeVarying / all / all_ss_iter
+        regimes, with per-lane shrinking horizons. Returns
+        (u (2,B), feasible_any (B,), new_guess (4,B), u_warm_new (n,2,B),
+        hzn_next (B,)).
+
+        Exactly faithful to the host controller (see module docstring):
+        stored-input warm-start append, horizon shrink on final-point
+        selection (base.py:640-654), horizon-1 reach check
+        (nonlinear_lmpc.py:199-213), ragged-list lexicographic comparison,
+        and advance-freeze on all-infeasible steps.
+        """
+        states, inputs, qfun, valid, lap_len = ss
+        m2 = jnp.clip(hzn, 2, n)  # solver horizon (h==1 lanes use the
+        m_f = hzn.astype(dtype)   # reach check; their solve is discarded)
+        h1 = hzn <= 1
+        # horizon-1 reach state: one dynamics step from the first warm input
+        x1 = jnp.stack(step_soa(tuple(x[i] for i in range(4)),
+                                (u_warm[0, 0], u_warm[0, 1]), dt))  # (4, B)
+        slot_ids = jnp.arange(max_laps)
+        # min stored lap cost over ALL laps (base.py:683: min(iter_cost))
+        min_cost = jnp.min(jnp.where(slot_ids[:, None] < lap_count,
+                                     lap_len - 1, 1 << 30), axis=0)  # (B,)
+        big_k = max_steps if mode == "all" else k
+
+        rows_cost, rows_cmp, rows_idx, rows_lap = [], [], [], []
+        for off in range(n_offs):
+            lap_id_c, lap_ok = _lap_window(lap_count, off)
+            st = states[lap_id_c]   # (T, 4, B)
+            qf = qfun[lap_id_c]     # (T, B)
+            vd = valid[lap_id_c]    # (T, B)
+            ll = lap_len[lap_id_c]  # (B,)
+            if mode == "all":
+                # every stored point is a candidate (base.py:569-571)
+                idx_kb = jnp.broadcast_to(t_idx[:, None],
+                                          (max_steps, b)).astype(jnp.int32)
+                struct = vd
+                x_terms = jnp.moveaxis(st, 1, 0)  # (4, T, B)
+                q_terms = qf
+            elif mode == "timeVarying":
+                # advancing window (base.py:537-546): base index at lap
+                # start = lap_cost - min_cost + N (base.py:685-690), +1 per
+                # control step (= +t), entries valid iff 0 < idx < lap_len,
+                # falling back to [lap_len-1] when no entry is valid
+                start = (ll - 1) - min_cost + n + t  # (B,) i32
+                idx_js, ok_js = [], []
+                any_v = None
+                for j in range(big_k):
+                    ij = start + j
+                    vj = (ij > 0) & (ij < ll)
+                    idx_js.append(ij)
+                    ok_js.append(vj)
+                    any_v = vj if any_v is None else (any_v | vj)
+                idx_js[0] = jnp.where(any_v, idx_js[0], ll - 1)
+                ok_js[0] = ok_js[0] | ~any_v
+                xs_l, qs_l = [], []
+                for j in range(big_k):
+                    ij = jnp.clip(idx_js[j], 0, max_steps - 1)
+                    # window indices can run past the stored rows; those
+                    # slots carry struct=False and are never read
+                    oh = (t_idx[:, None] == ij[None, :]) & ok_js[j][None, :]
+                    xs_l.append(jnp.stack([
+                        jnp.sum(jnp.where(oh, st[:, c], 0.0), axis=0)
+                        for c in range(4)]))
+                    qs_l.append(jnp.sum(jnp.where(oh, qf, 0.0), axis=0))
+                idx_kb = jnp.stack([jnp.clip(i, 0, max_steps - 1)
+                                    for i in idx_js]).astype(jnp.int32)
+                struct = jnp.stack(ok_js)  # (K, B)
+                x_terms = jnp.stack(xs_l, axis=1)  # (4, K, B)
+                q_terms = jnp.stack(qs_l)  # (K, B)
+            else:  # spaceVarying lap window with all_ss_iter
+                dist = (jnp.abs(st[:, 0] - guess[0][None])
+                        + jnp.abs(st[:, 1] - guess[1][None])
+                        + jnp.abs(st[:, 2] - guess[2][None])
+                        + jnp.abs(st[:, 3] - guess[3][None]))
+                dist = jnp.where(vd, dist, jnp.inf)
+                idx_kb, dval, (x0s, x1s, x2s, x3s, qsel) = _topk_select(
+                    dist, big_k, [st[:, 0], st[:, 1], st[:, 2], st[:, 3],
+                                  qf])
+                struct = jnp.isfinite(dval)
+                x_terms = jnp.stack([x0s, x1s, x2s, x3s])
+                q_terms = qsel
+
+            # phase 1: candidate COSTS only (memory: the `all` regime would
+            # need (L, N, 2, T, B) solution storage; the winner is re-solved
+            # once after selection instead — same pure function, same result)
+            x0b = jnp.broadcast_to(x[:, None, :], (4, big_k, b))
+            u_b = jnp.broadcast_to(u_warm[:, :, None, :], (n, 2, big_k, b))
+            m_b = jnp.broadcast_to(m2[None, :], (big_k, b))
+            sol = lm_feasibility_solve_soa(
+                limits, obstacle, x0b, x_terms, u_b, dt, num_horizon=n,
+                max_iters=max_lm_iters, m_lanes=m_b)
+            reach = jnp.sqrt(sum((x1[i][None, :] - x_terms[i]) ** 2
+                                 for i in range(4))) <= 1e-3  # (K, B)
+            feas = jnp.where(h1[None, :], reach, sol.feasible)
+            cost = jnp.where(feas & struct & lap_ok,
+                             m_f[None, :] + q_terms, jnp.inf)
+            # ragged Python-list comparison: absent tail slots rank BELOW
+            # any present value (a strict-prefix list is the smaller one);
+            # rows of non-existent laps rank above everything
+            cmp = jnp.where(lap_ok,
+                            jnp.where(struct, cost, -jnp.inf), jnp.inf)
+            rows_cost.append(cost)
+            rows_cmp.append(cmp)
+            rows_idx.append(idx_kb)
+            rows_lap.append(jnp.broadcast_to(lap_id_c, (b,)).astype(
+                jnp.int32))
+
+        cmp_rows = jnp.stack(rows_cmp)  # (L, K, B)
+        best_row = _lex_argmin_rows(cmp_rows)  # (B,)
+        cost_rows = jnp.stack(rows_cost)
+        row_cost = jnp.take_along_axis(
+            cost_rows, best_row[None, None, :].astype(jnp.int32), axis=0)[0]
+        best_col = jnp.argmin(row_cost, axis=0)  # (B,)
+        feasible_any = jnp.isfinite(
+            jnp.take_along_axis(row_cost, best_col[None, :], axis=0)[0])
+
+        def pick(stacked):
+            r = jnp.take_along_axis(
+                stacked,
+                best_row.reshape((1,) * (stacked.ndim - 1) + (b,)).astype(
+                    jnp.int32), axis=0)[0]
+            return jnp.take_along_axis(
+                r, best_col.reshape((1,) * (r.ndim - 2) + (1, b)).astype(
+                    jnp.int32), axis=-2)[..., 0, :]
+
+        idx_sel = pick(jnp.stack(rows_idx))  # (B,) i32
+        lap_sel = jnp.take_along_axis(
+            jnp.stack(rows_lap), best_row[None, :].astype(jnp.int32),
+            axis=0)[0]  # (B,)
+
+        # winner terminal state, its stored input (base.py:630-639), the
+        # successor point (base.py:621-622), and the chosen lap's length —
+        # re-extracted via one-hot row sums per lap row
+        oh_w = t_idx[:, None] == jnp.clip(idx_sel, 0, max_steps - 1)[None, :]
+        oh_s = t_idx[:, None] == jnp.clip(idx_sel + 1, 0,
+                                          max_steps - 1)[None, :]
+        xt_w = [jnp.zeros((b,), dtype) for _ in range(4)]
+        x_succ = [jnp.zeros((b,), dtype) for _ in range(4)]
+        u_app = [jnp.zeros((b,), dtype) for _ in range(2)]
+        len_sel = jnp.zeros((b,), jnp.int32)
+        for off in range(n_offs):
+            lap_id_c, _ = _lap_window(lap_count, off)
+            sel_off = best_row == off
+            st = states[lap_id_c]
+            inp = inputs[lap_id_c]
+            for c in range(4):
+                xt_w[c] = jnp.where(
+                    sel_off,
+                    jnp.sum(jnp.where(oh_w, st[:, c], 0.0), axis=0), xt_w[c])
+                x_succ[c] = jnp.where(
+                    sel_off,
+                    jnp.sum(jnp.where(oh_s, st[:, c], 0.0), axis=0),
+                    x_succ[c])
+            for c in range(2):
+                u_app[c] = jnp.where(
+                    sel_off,
+                    jnp.sum(jnp.where(oh_w, inp[:, c], 0.0), axis=0),
+                    u_app[c])
+            len_sel = jnp.where(sel_off, lap_len[lap_id_c], len_sel)
+
+        # phase 2: one re-solve of the per-lane winner (pure function of
+        # (x, winner terminal, warm start, m) — identical to its phase-1
+        # solve; per-lane done-masking makes iterates lockstep-invariant)
+        sol_w = lm_feasibility_solve_soa(
+            limits, obstacle, x, jnp.stack(xt_w), u_warm, dt, num_horizon=n,
+            max_iters=max_lm_iters, m_lanes=m2)
+        us_w = sol_w.us  # (n, 2, B)
+        x_pred_m = [sol_w.xs[n, i] for i in range(4)]
+        for kk in range(2, n):
+            for i in range(4):
+                x_pred_m[i] = jnp.where(m2 == kk, sol_w.xs[kk, i],
+                                        x_pred_m[i])
+        # horizon-1 lanes: input = first warm entry, prediction = [x, xt]
+        # (nonlinear_lmpc.py:199-213)
+        x_pred_m = [jnp.where(h1, xt_w[i], x_pred_m[i]) for i in range(4)]
+        u_sel = jnp.where(h1[None, :], u_warm[0], us_w[0])  # (2, B)
+
+        succ = (idx_sel + 1) <= (len_sel - 1)
+        # warm shift; branch A overwrites slot hzn-1 with the chosen point's
+        # stored input (base.py:630-639). Slots >= hzn are never read at
+        # horizons <= hzn (the horizon never grows within a lap).
+        u_shift = jnp.concatenate([us_w[1:], us_w[-1:]], axis=0)
+        pos = jnp.clip(hzn - 1, 0, n - 1)
+        oh_pos = (jnp.arange(n, dtype=jnp.int32)[:, None]
+                  == pos[None, :])  # (N, B)
+        u_warm_a = jnp.where(oh_pos[:, None, :],
+                             jnp.stack(u_app)[None], u_shift)
+        u_warm_new = jnp.where(succ[None, None, :], u_warm_a, u_shift)
+        # horizon-1 floor without successor: the host keeps the warm vector
+        # (the reference would decrement into an unrepresentable horizon-0
+        # NLP — see control/nlmpc.py:216-224)
+        u_warm_new = jnp.where((h1 & ~succ)[None, None, :], u_warm,
+                               u_warm_new)
+        new_guess = jnp.where(succ[None, :], jnp.stack(x_succ),
+                              jnp.stack(x_pred_m))
+        hzn_next = jnp.where(succ, hzn, jnp.maximum(hzn - 1, 1))
+        # all-infeasible: the host raises before any bookkeeping — freeze
+        # every advance (the plant-side input hold lives in step_body)
+        new_guess = jnp.where(feasible_any[None, :], new_guess, guess)
+        u_warm_new = jnp.where(feasible_any[None, None, :], u_warm_new,
+                               u_warm)
+        hzn_next = jnp.where(feasible_any, hzn_next, hzn)
+        return u_sel, feasible_any, new_guess, u_warm_new, hzn_next
+
     def run_lap(ss, lap_count, guess0, u_warm0, key):
         def step_cond(c):
             x, t, done, *_ = c
             return jnp.any((t < sim_step_budget) & ~done)
 
         def step_body(c):
-            (x, t, done, obstacle, guess, u_warm, u_prev, xs_rec, us_rec,
-             key) = c
-            u_solve, feas, guess_new, u_warm_new = solve_step(
-                ss, lap_count, x, guess, u_warm, obstacle, inactive=done)
+            (x, t, done, obstacle, guess, u_warm, hzn, u_prev, xs_rec,
+             us_rec, key) = c
+            if general:
+                (u_solve, feas, guess_new, u_warm_new,
+                 hzn_new) = solve_step_general(ss, lap_count, x, guess,
+                                               u_warm, t, hzn, obstacle)
+            else:
+                u_solve, feas, guess_new, u_warm_new = solve_step(
+                    ss, lap_count, x, guess, u_warm, obstacle, inactive=done)
+                hzn_new = hzn
             u = jnp.where(feas[None, :], u_solve, u_prev)
             x_next = jnp.stack(step_soa(tuple(x[i] for i in range(4)),
                                         (u[0], u[1]), dt))
@@ -305,6 +579,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             t_next = jnp.where(done, t, t + 1)
             guess_next = jnp.where(done[None, :], guess, guess_new)
             u_warm_next = jnp.where(done[None, None, :], u_warm, u_warm_new)
+            hzn_next = jnp.where(done, hzn, hzn_new)
             u_prev_next = jnp.where(done[None, :], u_prev, u)
             # record writes via (T, ·, B) onehot-selects: a per-lane scatter
             # looks cheaper on paper (T/1 less traffic) but lowers to the TPU
@@ -323,14 +598,16 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)
             return (x_next, t_next, done_next, obstacle_next, guess_next,
-                    u_warm_next, u_prev_next, xs_rec, us_rec, key)
+                    u_warm_next, hzn_next, u_prev_next, xs_rec, us_rec, key)
 
         xs_rec = jnp.zeros((max_steps, 4, b), dtype).at[0].set(scenarios.x0)
         us_rec = jnp.zeros((max_steps, 2, b), dtype)
+        # per-lap horizon reset (base.py:660: num_horizon = param horizon)
         init = (scenarios.x0, jnp.zeros((b,), jnp.int32),
                 jnp.zeros((b,), bool), scenarios.obstacle, guess0, u_warm0,
+                jnp.full((b,), n, jnp.int32),
                 jnp.zeros((2, b), dtype), xs_rec, us_rec, key)
-        (x, t, done, _obs, _g, _uw, _up, xs_rec, us_rec, key) = (
+        (x, t, done, _obs, _g, _uw, _hz, _up, xs_rec, us_rec, key) = (
             jax.lax.while_loop(step_cond, step_body, init))
         return xs_rec, us_rec, t, done, x, key
 

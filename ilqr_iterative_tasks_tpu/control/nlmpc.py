@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ilqr_iterative_tasks_tpu.constants import X_DIM, U_DIM
@@ -37,15 +38,28 @@ from ilqr_iterative_tasks_tpu.utils.params import LmpcParams, SystemLimits
 
 
 class NlmpcController:
-    """Host-driven NLMPC controller with device-batched AL-iLQR solves."""
+    """Host-driven NLMPC controller with device-batched AL-iLQR solves.
+
+    ``mesh``: optional jax.sharding.Mesh (first axis name is used). When set,
+    the controller runs pod-scale: spaceVarying kNN routes through
+    parallel/sharded_safe_set.py::sharded_knn (stored lap rows sharded over
+    the mesh, local top-k -> all_gather -> global top-k over ICI), and the
+    per-step candidate solve batch is sharded over the same mesh — the
+    production wiring of the "long-context" safe-set axis, sized for the
+    ``all_ss_point`` regime where every stored state of every lap is a
+    candidate (base.py:569-571) and the candidate set outgrows one device.
+    """
 
     def __init__(self, params: LmpcParams, obstacle: Optional[object] = None,
-                 limits: Optional[SystemLimits] = None, dtype=jnp.float32):
+                 limits: Optional[SystemLimits] = None, dtype=jnp.float32,
+                 mesh=None):
         self.params = params
         self.limits = limits if limits is not None else SystemLimits.make(dtype=dtype)
         self.obstacle = obstacle
         self.safe_set = SafeSet()
         self.dtype = dtype
+        self.mesh = mesh
+        self.mesh_axis = mesh.axis_names[0] if mesh is not None else None
         self.timestep: Optional[float] = None
         self.time = 0.0
         self.x: Optional[np.ndarray] = None
@@ -115,17 +129,60 @@ class NlmpcController:
         flat = self.x_guess[X_DIM * (n + 1): X_DIM * (n + 1) + U_DIM * n]
         return flat.reshape(n, U_DIM)
 
+    def _select_close_sharded(self, lap_id: int, k: int) -> np.ndarray:
+        """select_close via the mesh-sharded global top-k (same ordering as a
+        single-device masked top_k; ties across devices resolve in global row
+        order, matching np.argsort up to exact-tie permutations)."""
+        from ilqr_iterative_tasks_tpu.parallel.sharded_safe_set import (
+            sharded_knn)
+
+        x = self.safe_set.ss[lap_id]  # (4, T)
+        q = self.safe_set.Qfun[lap_id]
+        t = x.shape[1]
+        ndev = int(np.prod(self.mesh.devices.shape))
+        # pad rows so each shard holds >= k rows and T divides the mesh
+        shard = max(-(-t // ndev), k)
+        tp = shard * ndev
+        states = np.zeros((tp, 4), dtype=np.float64)
+        states[:t] = x.T
+        qfun = np.zeros((tp,), dtype=np.float64)
+        qfun[:t] = q
+        valid = np.arange(tp) < t
+        idx, _pts, _qs, dist = sharded_knn(
+            jnp.asarray(states), jnp.asarray(valid), jnp.asarray(qfun),
+            jnp.asarray(self.x_terminal_guess, states.dtype), k, self.mesh,
+            axis_name=self.mesh_axis)
+        idx = np.asarray(idx)
+        # k can exceed the lap length: the host path returns fewer candidates
+        return idx[np.isfinite(np.asarray(dist))]
+
     def _solve_candidates(self, x_terms: np.ndarray, n: int):
-        """Batched constrained solves; returns (x_sols, u_sols, feas) numpy."""
+        """Batched constrained solves; returns (x_sols, u_sols, feas) numpy.
+
+        Under a mesh the candidate axis is sharded (padded to the device
+        count) so the solves data-parallelize over ICI.
+        """
         obstacle = self._device_obstacle()
-        u_init = np.broadcast_to(self._warm_u_init(n), (x_terms.shape[0], n, U_DIM))
+        nc = x_terms.shape[0]
+        u_init = np.broadcast_to(self._warm_u_init(n), (nc, n, U_DIM))
+        xt = jnp.asarray(x_terms, dtype=self.dtype)
+        ui = jnp.asarray(u_init, dtype=self.dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ndev = int(np.prod(self.mesh.devices.shape))
+            pad = (-nc) % ndev
+            if pad:  # repeat the last candidate; padded solves are dropped
+                xt = jnp.concatenate([xt, jnp.repeat(xt[-1:], pad, 0)])
+                ui = jnp.concatenate([ui, jnp.repeat(ui[-1:], pad, 0)])
+            sh = NamedSharding(self.mesh, P(self.mesh_axis))
+            xt = jax.device_put(xt, sh)
+            ui = jax.device_put(ui, sh)
         sols = lm_feasibility_solve_candidates(
             self.limits, obstacle, jnp.asarray(self.x, dtype=self.dtype),
-            jnp.asarray(x_terms, dtype=self.dtype),
-            jnp.asarray(u_init, dtype=self.dtype),
-            self.timestep, num_horizon=n)
-        return (np.asarray(sols.xs, np.float64), np.asarray(sols.us, np.float64),
-                np.asarray(sols.feasible))
+            xt, ui, self.timestep, num_horizon=n)
+        return (np.asarray(sols.xs, np.float64)[:nc],
+                np.asarray(sols.us, np.float64)[:nc],
+                np.asarray(sols.feasible)[:nc])
 
     def calc_input(self):
         p = self.params
@@ -138,6 +195,9 @@ class NlmpcController:
                 idx = np.arange(0, self.safe_set.ss[lap_id].shape[1])
             elif p.ss_option == "timeVarying":
                 idx = self._select_time_varying(lap_id)
+            elif self.mesh is not None:
+                # kNN over the mesh-sharded history axis (ICI global top-k)
+                idx = self._select_close_sharded(lap_id, p.num_ss_points)
             else:  # spaceVarying (kNN around the terminal guess, base.py:548-555)
                 idx = self.safe_set.select_close(
                     lap_id, self.x_terminal_guess, p.num_ss_points)

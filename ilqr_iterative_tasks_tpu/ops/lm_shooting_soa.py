@@ -78,12 +78,25 @@ def lm_feasibility_solve_soa(limits: SystemLimits, obstacle: Obstacle,
                              max_iters: int = 80, num_starts: int = 2,
                              w_obs: float = 10.0, g_margin: float = 1e-3,
                              term_tol: float = 1e-4,
-                             viol_tol: float = 1e-4) -> LmSoaSolution:
+                             viol_tol: float = 1e-4,
+                             m_lanes=None) -> LmSoaSolution:
     """Batched candidate-feasibility solve, batch-trailing layout.
 
     x0: (4, *S) or (4,); x_terminal: (4, *S); u_init: (N, 2, *S). Obstacle
     leaves must be scalars or trailing-broadcastable against ``*S``. Per-lane
     semantics identical to ops.lm_shooting.lm_feasibility_solve.
+
+    ``m_lanes``: optional per-lane EFFECTIVE horizon ((*S,) i32, values in
+    [2, num_horizon]) for the shrinking-horizon branch of the LMPC warm-start
+    bookkeeping (reference base.py:640-654 re-solves with num_horizon-1 after
+    selecting a lap's final point). The solve is traced at the full horizon;
+    lanes with m < N get the horizon-m NLP by masking: terminal residual rows
+    read x_m instead of x_N, obstacle rows k >= m and Jacobian columns
+    j >= m are zeroed. Zeroed rows/columns decouple exactly in the damped
+    normal equations (their Cholesky pivots become lam alone and contribute
+    nothing to du), so per lane this IS the reduced horizon-m LM iteration —
+    not an approximation. With ``m_lanes=None`` the original full-horizon
+    code path is taken untouched.
     """
     if num_horizon < 2:
         raise ValueError("horizon-1 is a pure reach check handled by the "
@@ -105,6 +118,15 @@ def lm_feasibility_solve_soa(limits: SystemLimits, obstacle: Obstacle,
     s2 = (num_starts,) + s_shape
     x0c = tuple(jnp.broadcast_to(x0[i], s2) for i in range(4))
     xt = tuple(jnp.broadcast_to(x_terminal[i], s2) for i in range(4))
+    mm = (None if m_lanes is None
+          else jnp.broadcast_to(jnp.asarray(m_lanes, jnp.int32), s2))
+
+    def _at_m(lst):
+        """Per-lane lst[m] for m in [2, n] (lst indexed 0..n)."""
+        v = lst[n]
+        for kk in range(2, n):
+            v = jnp.where(mm == kk, lst[kk], v)
+        return v
     inv_w2 = 1.0 / obstacle.width ** 2
     inv_h2 = 1.0 / obstacle.height ** 2
     margin = jnp.asarray(g_margin, dtype)
@@ -128,11 +150,18 @@ def lm_feasibility_solve_soa(limits: SystemLimits, obstacle: Obstacle,
         """-> (f = |r|^2, r rows, xs); uf: (nvar, *S2)."""
         us = [clip_comp(uf, j) for j in range(n)]
         xs = rollout_c(us)
-        rows = [xs[n][i] - xt[i] for i in range(4)]
+        if mm is None:
+            rows = [xs[n][i] - xt[i] for i in range(4)]
+        else:
+            # terminal rows read the per-lane effective horizon state x_m
+            rows = [_at_m([xs[kk][i] for kk in range(n + 1)]) - xt[i]
+                    for i in range(4)]
         for k in range(1, n):
             g, _, _ = g_at(xs, k)
-            rows.append(sqrt_w * obstacle.present
-                        * jnp.maximum(g + margin, 0.0))
+            r = sqrt_w * obstacle.present * jnp.maximum(g + margin, 0.0)
+            if mm is not None:
+                r = jnp.where(k < mm, r, 0.0)  # row absent below horizon m
+            rows.append(r)
         f = rows[0] * rows[0]
         for r in rows[1:]:
             f = f + r * r
@@ -166,6 +195,11 @@ def lm_feasibility_solve_soa(limits: SystemLimits, obstacle: Obstacle,
         b10 = [0.5 * dt * dt * sin_t[j] for j in range(n)]
         mask_a = [_clip_grad(uf[2 * j], a_max) for j in range(n)]
         mask_d = [_clip_grad(uf[2 * j + 1], d_max) for j in range(n)]
+        if mm is not None:
+            # columns j >= m are not decision variables of the horizon-m NLP
+            mask_a = [jnp.where(j < mm, mask_a[j], 0.0) for j in range(n)]
+            mask_d = [jnp.where(j < mm, mask_d[j], 0.0) for j in range(n)]
+            cum_m = [_at_m(c) for c in (cum0, cum1, cum2, cum3)]
 
         def sens(k, j):
             """d (px_k, py_k) / d (a_j, dl_j); valid for j < k."""
@@ -175,11 +209,20 @@ def lm_feasibility_solve_soa(limits: SystemLimits, obstacle: Obstacle,
             sd1 = cum3[k] - cum3[j + 1]
             return sa0, sd0, sa1, sd1
 
+        def sens_m(j):
+            """d (px_m, py_m) / d (a_j, dl_j) at the per-lane horizon m;
+            garbage for j >= m, but those columns carry mask 0."""
+            sa0 = b00[j] + cum_m[0] - cum0[j + 1]
+            sd0 = cum_m[1] - cum1[j + 1]
+            sa1 = b10[j] + cum_m[2] - cum2[j + 1]
+            sd1 = cum_m[3] - cum3[j + 1]
+            return sa0, sd0, sa1, sd1
+
         jac = []
-        # terminal rows: d (x_N - xt) / d u
+        # terminal rows: d (x_N - xt) / d u  (x_m when m_lanes is given)
         row_px, row_py, row_v, row_th = [], [], [], []
         for j in range(n):
-            sa0, sd0, sa1, sd1 = sens(n, j)
+            sa0, sd0, sa1, sd1 = sens(n, j) if mm is None else sens_m(j)
             row_px += [sa0 * mask_a[j], sd0 * mask_d[j]]
             row_py += [sa1 * mask_a[j], sd1 * mask_d[j]]
             row_v += [dt * mask_a[j], 0.0]
@@ -189,6 +232,8 @@ def lm_feasibility_solve_soa(limits: SystemLimits, obstacle: Obstacle,
         for k in range(1, n):
             g, cx, cy = g_at(xs, k)
             gate = (sqrt_w * obstacle.present * _relu_grad(g + margin))
+            if mm is not None:
+                gate = jnp.where(k < mm, gate, 0.0)
             gx = gate * (-2.0 * inv_w2) * (xs[k][0] - cx)
             gy = gate * (-2.0 * inv_h2) * (xs[k][1] - cy)
             row = []
@@ -321,13 +366,26 @@ def lm_feasibility_solve_soa(limits: SystemLimits, obstacle: Obstacle,
     xs = [x0s]
     for i in range(n):
         xs.append(step_soa(xs[-1], us[i], dt))
-    d2 = sum((xs[n][i] - x_terminal[i]) ** 2 for i in range(4))
+    if m_lanes is None:
+        x_at_m = [xs[n][i] for i in range(4)]
+    else:
+        mm_s = jnp.asarray(m_lanes, jnp.int32)
+        x_at_m = []
+        for i in range(4):
+            v = xs[n][i]
+            for kk in range(2, n):
+                v = jnp.where(mm_s == kk, xs[kk][i], v)
+            x_at_m.append(v)
+    d2 = sum((x_at_m[i] - x_terminal[i]) ** 2 for i in range(4))
     term_err = jnp.sqrt(jnp.maximum(d2, 0.0))
     viol = None
     for k in range(1, n):
         cx, cy = obstacle.center_at(float(k))
         g = obstacle.present * (1.0 - ((xs[k][0] - cx) ** 2 * inv_w2
                                        + (xs[k][1] - cy) ** 2 * inv_h2))
+        if m_lanes is not None:
+            # constraint rows k >= m do not exist in the horizon-m NLP
+            g = jnp.where(k < mm_s, g, -jnp.inf)
         viol = g if viol is None else jnp.maximum(viol, g)
     feasible = (term_err <= term_tol) & (viol <= viol_tol)
     return LmSoaSolution(

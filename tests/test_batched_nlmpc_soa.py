@@ -101,6 +101,95 @@ def test_nlmpc_soa_checkpoint_exact_resume(tmp_path):
     np.testing.assert_array_equal(got, np.asarray(full.lap_steps))
 
 
+def _host_lap_steps(params, laps):
+    """Learning-lap step counts from the reference-faithful host controller."""
+    from ilqr_iterative_tasks_tpu.control.nlmpc import NlmpcController
+    from ilqr_iterative_tasks_tpu.experiments.runner import (
+        default_obstacle, run_closed_loop)
+
+    ctrl = NlmpcController(params, obstacle=default_obstacle(1.0),
+                           dtype=jnp.float64)
+    res = run_closed_loop(ctrl, lap_number=laps, dt=1.0, goal_fixup=None)
+    assert all(res.lap_finished)
+    return [int(t) for t in res.all_lap_times[1:]]
+
+
+def _soa_lap_steps(params, laps, **kw):
+    limits = SystemLimits.make(dtype=jnp.float64)
+    xcl, ucl = seed_trajectory(1.0)
+    seed_xs = jnp.zeros((128, 4), jnp.float64).at[:121].set(
+        jnp.asarray(xcl, jnp.float64))
+    seed_us = jnp.zeros((128, 2), jnp.float64).at[:120].set(
+        jnp.asarray(ucl, jnp.float64))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=jnp.float64)
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 2,
+                                 noise_on=False, dtype=jnp.float64)
+    res = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us, 121,
+                                  1.0, jax.random.PRNGKey(0), num_laps=laps,
+                                  max_steps=128, max_laps=8, **kw)
+    steps = np.asarray(res.lap_steps)
+    assert np.all(np.asarray(res.lap_done))
+    assert (steps == steps[:, :1]).all()  # identical zero-noise lanes agree
+    return steps[:, 0].tolist()
+
+
+@pytest.mark.slow
+def test_nlmpc_time_varying_matches_host():
+    """Batched timeVarying (advancing windows, base.py:537-546, with the
+    shrinking-horizon branch 640-654 solved via m_lanes masking) reproduces
+    the host controller's lap sequence EXACTLY at f64 zero-noise.
+    Recorded: [111, 104, 97] after the 120-step seed."""
+    params = LmpcParams.make(ss_option="timeVarying")
+    host = _host_lap_steps(params, 3)
+    assert _soa_lap_steps(params, 3) == host
+    assert host == [111, 104, 97]  # pin the recorded sequence
+
+
+@pytest.mark.slow
+def test_nlmpc_all_ss_matches_host():
+    """Batched all_ss_point + all_ss_iter (every stored point of every lap,
+    base.py:564-571) matches the host exactly. Recorded: [26, 22, 22]."""
+    params = LmpcParams.make(all_ss_point=True, all_ss_iter=True)
+    host = _host_lap_steps(params, 3)
+    assert _soa_lap_steps(params, 3) == host
+    assert host == [26, 22, 22]
+
+
+@pytest.mark.slow
+def test_nlmpc_faithful_space_varying_matches_host():
+    """faithful=True routes plain spaceVarying through the exact general
+    path (stored-input warm append base.py:630-639 + infeasible-step freeze)
+    — host parity is then EXACT, where the fast path's documented shortcuts
+    sit at a ±1-step envelope. Recorded host: [32, 23, 23]."""
+    params = LmpcParams.make(ss_option="spaceVarying")
+    host = _host_lap_steps(params, 3)
+    assert host == [32, 23, 23]
+    assert _soa_lap_steps(params, 3, faithful=True) == host
+    fast = _soa_lap_steps(params, 3)
+    assert max(abs(a - b) for a, b in zip(fast, host)) <= 1
+
+
+@pytest.mark.slow
+def test_nlmpc_space_varying_all_iter_matches_host():
+    """spaceVarying kNN with the lap window widened to every stored lap
+    (all_ss_iter, base.py:564-567) matches the host exactly."""
+    params = LmpcParams.make(ss_option="spaceVarying", all_ss_iter=True,
+                             num_ss_iter=1)
+    host = _host_lap_steps(params, 3)
+    assert _soa_lap_steps(params, 3) == host
+    assert host == [32, 23, 23]
+
+
+def test_nlmpc_general_mode_rejects_pallas_backends():
+    params, limits, scs, seed_xs, seed_us, _, _ = _setup(2)
+    tv = LmpcParams.make(ss_option="timeVarying")
+    with pytest.raises(ValueError, match="spaceVarying"):
+        simulate_nlmpc_runs_soa(
+            tv, limits, scs, seed_xs, seed_us, 121, 1.0,
+            jax.random.PRNGKey(0), num_laps=1, max_steps=128, max_laps=8,
+            pallas_step_solver=object())
+
+
 def test_nlmpc_inactive_skip_bitwise_neutral():
     """Mirror of test_batched.py::test_inactive_skip_bitwise_neutral for the
     NLMPC SoA simulator (ADVICE r1, medium): the inactive-lane compaction

@@ -147,3 +147,29 @@ def test_nlmpc_time_varying_progresses():
     t = res.all_lap_times
     # advancing-window LMPC improves by up to ~N-1 steps per lap
     assert t[1] < t[0] and t[2] < t[1] and t[3] < t[2]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("ss_option", ["space", "all"])
+def test_nlmpc_meshed_controller_matches_unmeshed(ss_option):
+    """Pod-scale host controller (mesh=...): spaceVarying kNN through the
+    ICI global top-k (parallel/sharded_safe_set.py::sharded_knn) and
+    candidate solves sharded over the mesh must reproduce the single-device
+    lap sequences exactly (virtual 8-device CPU mesh).
+
+    Recorded single-device sequences (zero noise, f64): spaceVarying
+    [32, 23], all_ss [26, 22]."""
+    from jax.sharding import Mesh
+
+    if ss_option == "all":
+        params = LmpcParams.make(all_ss_point=True, all_ss_iter=True)
+        want = [120.0, 26.0, 22.0]
+    else:
+        params = LmpcParams.make(ss_option="spaceVarying")
+        want = [120.0, 32.0, 23.0]
+    mesh = Mesh(np.array(jax.devices()), ("history",))
+    ctrl = NlmpcController(params, obstacle=default_obstacle(1.0),
+                           dtype=jnp.float64, mesh=mesh)
+    res = run_closed_loop(ctrl, lap_number=2, dt=1.0, goal_fixup=None)
+    assert all(res.lap_finished)
+    assert res.all_lap_times == want
