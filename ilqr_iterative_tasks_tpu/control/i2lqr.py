@@ -22,7 +22,11 @@ data-dependent host logic; the hot path — all candidates of a pass — is ONE
 jitted vmapped device solve (ops.ilqr.ilqr_solve_candidates) instead of the
 reference's nested sequential loops. Documented deviation: the reference
 threads the LM lambda from candidate j into j+1 (base.py:393,414-426); we
-reset lambda per candidate (clean parallel semantics).
+reset lambda per candidate (clean parallel semantics). The deviation is
+CLOSABLE: ``sequential_lambda=True`` swaps in the exact threading
+(ops.ilqr.ilqr_solve_candidates_seq, one lax.scan) and reproduces the
+recorded reference run [54, 27, 24, 24, 24] EXACTLY at f64
+(tests/test_closed_loop_i2lqr.py::test_five_lap_parity_f64_exact_sequential_lambda).
 """
 
 from __future__ import annotations
@@ -37,7 +41,8 @@ from ilqr_iterative_tasks_tpu.constants import X_DIM, U_DIM
 from ilqr_iterative_tasks_tpu.control.safe_set import SafeSet
 from ilqr_iterative_tasks_tpu.models import kinetic_bicycle as dyn
 from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
-from ilqr_iterative_tasks_tpu.ops.ilqr import ilqr_solve_candidates
+from ilqr_iterative_tasks_tpu.ops.ilqr import (ilqr_solve_candidates,
+                                               ilqr_solve_candidates_seq)
 from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
 
 
@@ -57,10 +62,21 @@ def relaxed_reach_cost(dist: float, cost_terminal: float, num_horizon: int,
 
 
 class I2LqrController:
-    """Host-driven i2LQR controller with device-batched candidate solves."""
+    """Host-driven i2LQR controller with device-batched candidate solves.
+
+    ``sequential_lambda=True`` switches the candidate sweep from the
+    parallel vmap (lambda reset per candidate — the documented deviation)
+    to the reference's EXACT sequential threading (base.py:393,414-426):
+    candidate j's final LM lambda seeds candidate j+1 within a lap, reset
+    per (relaxation pass, lap). Compiled as one lax.scan; serialized only
+    by the true lambda dependence. Use for bit-level parity studies; the
+    parallel sweep is the production default.
+    """
 
     def __init__(self, params: IlqrParams, obstacle: Optional[object] = None,
-                 limits: Optional[SystemLimits] = None, dtype=jnp.float32):
+                 limits: Optional[SystemLimits] = None, dtype=jnp.float32,
+                 sequential_lambda: bool = False):
+        self.sequential_lambda = sequential_lambda
         self.params = params
         self.limits = limits if limits is not None else SystemLimits.make(dtype=dtype)
         self.obstacle = obstacle  # sim.plant.ObstacleSim or None
@@ -124,7 +140,10 @@ class I2LqrController:
                 x_terms = self.safe_set.ss[lap_id][:, idx].T  # (k, 4)
                 q_terms = self.safe_set.Qfun[lap_id][idx]
                 if n > 1:
-                    sols = ilqr_solve_candidates(
+                    solve_fn = (ilqr_solve_candidates_seq
+                                if self.sequential_lambda
+                                else ilqr_solve_candidates)
+                    sols = solve_fn(
                         p, self.limits, obstacle,
                         jnp.asarray(self.x, dtype=self.dtype),
                         jnp.asarray(x_terms, dtype=self.dtype),

@@ -208,3 +208,29 @@ def ilqr_solve_candidates(params: IlqrParams, limits: SystemLimits,
     solve = lambda xt: ilqr_solve(params, limits, obstacle, x0, xt, u_init,
                                   lamb0, dt, num_horizon=num_horizon)
     return jax.vmap(solve)(x_terminals)
+
+
+@partial(jax.jit, static_argnames=("num_horizon",))
+def ilqr_solve_candidates_seq(params: IlqrParams, limits: SystemLimits,
+                              obstacle: Obstacle, x0: jnp.ndarray,
+                              x_terminals: jnp.ndarray, u_init: jnp.ndarray,
+                              lamb0, dt, *, num_horizon: int) -> IlqrSolution:
+    """Sequential-lambda candidate sweep — the reference's exact threading.
+
+    base.py:393,414-426: within one lap's kNN candidates the LM lambda of
+    candidate j (as returned by ilqr(), including the post-accept division
+    or the past-max_lamb inflation) seeds candidate j+1; lambda resets to
+    ``lamb0`` at the start of each (relaxation pass, lap) pair — the caller
+    owns that reset by passing params.lamb per call. One lax.scan instance
+    keeps this parity mode fully compiled: candidates are serialized by the
+    true lambda data dependence, not by Python dispatch. Stacked outputs
+    match ``ilqr_solve_candidates`` layout.
+    """
+    def step(lamb, xt):
+        sol = ilqr_solve(params, limits, obstacle, x0, xt, u_init, lamb, dt,
+                         num_horizon=num_horizon)
+        return sol.lamb, sol
+
+    _, sols = jax.lax.scan(step, jnp.asarray(lamb0, dtype=x0.dtype),
+                           x_terminals)
+    return sols

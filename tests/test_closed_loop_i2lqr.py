@@ -52,6 +52,24 @@ def test_five_lap_parity_f64():
 
 
 @pytest.mark.slow
+def test_five_lap_parity_f64_exact_sequential_lambda():
+    """EXACT lap-step equality against the recorded reference run.
+
+    sequential_lambda=True closes the one documented deviation (LM lambda
+    threaded candidate-to-candidate within a lap, base.py:393,414-426 — see
+    ops/ilqr.py::ilqr_solve_candidates_seq); at f64 the closed loop then
+    reproduces the reference's recorded [54, 27, 24, 24, 24] exactly, not
+    within the ±2-step envelope of the parallel-sweep default."""
+    params = IlqrParams.make(dtype=jnp.float64)
+    ctrl = I2LqrController(params, obstacle=default_obstacle(1.0),
+                           dtype=jnp.float64, sequential_lambda=True)
+    res = run_closed_loop(ctrl, lap_number=5, dt=1.0, goal_fixup="append")
+    assert all(res.lap_finished)
+    assert res.seed_time == REF_SEED_TIME
+    assert res.lap_times == REF_LAP_TIMES  # exact, every lap
+
+
+@pytest.mark.slow
 def test_add_moving_obstacle_scenario_matches_reference_behavior():
     """Reference ground truth (casadi-stub run, 2026-08-17, moving 'up'
     geometry, obstacle injected lap 5 / removed lap 6, snap fixup):
