@@ -125,3 +125,38 @@ def test_i2lqr_shardmap_step_kernel_matches_per_shard():
         want = np.concatenate(
             [np.asarray(h.safe_set[j]) for h in halves], axis=-1)
         np.testing.assert_array_equal(np.asarray(res.safe_set[j]), want)
+
+
+@pytest.mark.slow
+def test_sharded_sim_compiles_with_zero_collectives():
+    """The scaling-efficiency property, proven on the compiled program: the
+    scenario-sharded sim contains NO cross-device collectives (all-reduce /
+    all-gather / collective-permute / all-to-all / reduce-scatter) — the
+    scenario axis is pure data parallelism, so weak scaling is linear by
+    construction (per-device work is independent; the single partition-id op
+    is the per-shard PRNG fold). See docs/PERF.md 'Weak scaling'."""
+    import re
+
+    from jax.sharding import Mesh
+
+    from ilqr_iterative_tasks_tpu.parallel.sharded_soa import (
+        simulate_nlmpc_runs_soa_shardmap)
+
+    dt64 = jnp.float64
+    params = LmpcParams.make(ss_option="spaceVarying")
+    limits = SystemLimits.make(dtype=dt64)
+    xcl, _ = seed_trajectory(1.0)
+    seed_xs = jnp.zeros((128, 4), dt64).at[:121].set(jnp.asarray(xcl, dt64))
+    seed_us = jnp.zeros((128, 2), dt64)
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dt64)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("scenario",))
+    scs = shard_soa_scenarios(
+        SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 8,
+                               noise_on=True, dtype=dt64), mesh)
+    f = jax.jit(lambda s: simulate_nlmpc_runs_soa_shardmap(
+        params, limits, s, seed_xs, seed_us, 121, 1.0, jax.random.PRNGKey(3),
+        mesh, num_laps=1, max_steps=128, max_laps=4, max_lm_iters=8))
+    txt = f.lower(scs).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert not re.findall(op + r"\(", txt), op
