@@ -138,6 +138,21 @@ def main():
         n_times.append(time.perf_counter() - t0)
     nlmpc_rate = n_batch * num_laps / min(n_times)
 
+    # robustness metric (BASELINE config 4): randomized moving-obstacle
+    # sweep completion at the default (k=8/nsi=1) and rescue (k=32/nsi=4)
+    # configs — tracked here so the enlarged-candidate-set rescue of the
+    # moving-obstacle brittleness (commit dcc59d6, docs/PERF.md) cannot
+    # silently regress. Small batch: this is a fixed-config canary, not a
+    # throughput measurement.
+    from ilqr_iterative_tasks_tpu.experiments.scenario_sweep import run_sweep
+    rb = 4096 if on_tpu else 32
+    rob = {}
+    for tag, nsp, nsi_r in (("k8_nsi1", 8, 1), ("k32_nsi4", 32, 4)):
+        r = run_sweep(rb, 4, moving=True, num_ss_points=nsp,
+                      num_ss_iter=nsi_r, quiet=True)
+        rob[f"robust_completion_{tag}"] = r["completion_rate"]
+        rob[f"robust_final_lap_mean_{tag}"] = r["final_lap_mean"]
+
     print(json.dumps({
         "metric": "i2lqr_lap_sims_per_s_per_chip",
         "value": round(value, 1),
@@ -152,6 +167,7 @@ def main():
             "seconds_per_batch": round(best, 3),
             "nlmpc_lap_sims_per_s": round(nlmpc_rate, 1),
             "nlmpc_batch": n_batch,
+            **rob,
         },
     }))
 

@@ -121,6 +121,18 @@ class I2LqrController:
         p = self.params
         if self.num_horizon < p.num_horizon:
             # Shrinking-horizon stored-input replay (base.py:377-382).
+            if self.u_old.shape[1] == 0:
+                # Latent reference crash: base.py:378-379 indexes column 0
+                # of an EMPTY replay buffer (IndexError) when plant noise
+                # keeps the lap alive past the last stored input — a rare
+                # (~0.3%/lap) noise tail event, see docs/PERF.md "The 0.3%
+                # non-completion". Degrade exactly like the batched sims'
+                # clipped replay position: repeat the last applied input
+                # until the lap ends (goal or budget).
+                self.u_pred = np.asarray(self.u, dtype=np.float64).reshape(
+                    U_DIM, 1)
+                self.time += self.timestep
+                return
             self.u_pred = self.u_old
             self.u = self.u_pred[:, 0]
             self.u_old = self.u_pred[:, 1:]

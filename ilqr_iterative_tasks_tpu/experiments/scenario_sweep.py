@@ -31,7 +31,7 @@ def run_sweep(batch: int, num_laps: int, moving: bool = False,
               x0_jitter=(0.5, 0.5, 0.0, 0.0), obs_pos_jitter: float = 4.0,
               seed: int = 0, solver_max_iter: int = 16,
               num_ss_iter: int = 1, num_ss_points: int = 8,
-              use_pallas: bool | None = None):
+              use_pallas: bool | None = None, quiet: bool = False):
     from ilqr_iterative_tasks_tpu.control.batched_soa import (
         SoaScenarios, simulate_learning_runs_soa)
     from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
@@ -108,7 +108,8 @@ def run_sweep(batch: int, num_laps: int, moving: bool = False,
         "lap_sims_per_s": round(batch * num_laps / wall, 1),
         "backend": jax.default_backend(),
     }
-    print(json.dumps(report), flush=True)
+    if not quiet:
+        print(json.dumps(report), flush=True)
     return report
 
 

@@ -86,6 +86,24 @@ def test_add_moving_obstacle_scenario_matches_reference_behavior():
     assert all(res.lap_finished[:5])
 
 
+def test_replay_exhaustion_guard_repeats_last_input():
+    """The reference crashes (base.py:378-379 IndexError on an empty replay
+    buffer) when plant noise keeps a lap alive past the last stored input —
+    a ~0.3%/lap noise tail event (docs/PERF.md). The host controller must
+    instead repeat the last applied input, like the batched sims' clipped
+    replay position."""
+    params = IlqrParams.make(dtype=jnp.float32)
+    ctrl = I2LqrController(params, obstacle=None, dtype=jnp.float32)
+    ctrl.set_timestep(1.0)
+    ctrl.set_state(np.zeros(4))
+    ctrl.num_horizon = params.num_horizon - 1  # in replay
+    ctrl.u = np.array([1.5, 0.25])
+    ctrl.u_old = np.zeros((2, 0))  # exhausted buffer
+    ctrl.calc_input()  # the reference raises IndexError here
+    np.testing.assert_array_equal(ctrl.get_input(), [1.5, 0.25])
+    assert ctrl.u_pred.shape == (2, 1)
+
+
 def test_three_lap_f32_still_converges():
     """f32 (TPU production dtype) must preserve closed-loop behavior."""
     params = IlqrParams.make(dtype=jnp.float32)
