@@ -102,8 +102,8 @@ def main():
         simulate_nlmpc_runs_soa)
     from ilqr_iterative_tasks_tpu.utils.params import LmpcParams
 
-    # NLMPC peaks at 32768 (39.9k/s vs 38.3k at 16384; 65536 dips to 39.4k)
-    n_batch = 32768 if on_tpu else 32
+    # NLMPC under qsort_skip is flat ~270-272k/s from 32k up (peak 49152)
+    n_batch = 49152 if on_tpu else 32
     n_params = LmpcParams.make(ss_option="spaceVarying")
     n_scen = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, n_batch,
                                     noise_on=True, dtype=dtype)
@@ -118,10 +118,15 @@ def main():
         # skip the zeros multi-start. NOT bitwise — gated by the behavior
         # envelope (tests/test_behavior_envelope.py, docs/PARITY.md);
         # +4.7% measured (106.7k vs 101.9k lap-sims/s).
+        # qsort_skip: candidates solved in per-lane Q-ascending order with a
+        # running-best dominance skip — after the first feasible candidate
+        # the remaining positions are all-skip tiles. BITWISE-neutral for
+        # nsi=1 (tests/test_pallas_nlmpc_step.py); +2.54x measured
+        # (270.4k vs 106.5k lap-sims/s at B=32768).
         n_kw["pallas_step_solver"] = build_fused_nlmpc_step(
             n_params, limits, 1.0, num_horizon=n_params.num_horizon,
             max_steps=max_steps, max_laps=8, max_iters=12, tile_rows=8,
-            zeros_skip=True)
+            zeros_skip=True, qsort_skip=True)
 
     def run_nlmpc(seed):
         res = simulate_nlmpc_runs_soa(

@@ -42,6 +42,7 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                            num_starts: int = 2, tile_rows: int = 8,
                            store_solutions: bool = True,
                            zeros_skip: bool = False,
+                           qsort_skip: bool = False,
                            interpret: bool = False):
     """Factory: returns
     fn(x (4,B), guess (4,B), u_warm (n,2,B), states (max_laps,T,4,B),
@@ -63,6 +64,22 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     _pallas_nlmpc_core.feasibility_solve). NOT bitwise-neutral — gated by
     the behavior-level parity envelope (docs/PARITY.md,
     tests/test_behavior_envelope.py).
+
+    ``qsort_skip`` (nsi=1 only): the NLMPC candidate cost n + Qfun is known
+    BEFORE the solve (the solve only gates feasibility, nonlinear_lmpc.py:
+    186-197), so candidates are solved in per-lane Q-ASCENDING order
+    (stable 8-wide rank network on the VPU) with a running-best dominance
+    skip: once any candidate is feasible, every later position has
+    n + q >= best and enters the LM while_loop pre-done — the expected
+    number of real solves per lane drops from k to ~1 + #(infeasible
+    q-prefix). BITWISE-neutral for nsi=1: the selection argmin is first-min
+    over (cost, original slot); the stable rank puts equal-q candidates in
+    original-slot order, so the first feasible position IS the argmin, a
+    skipped position can never beat it (cost >= best with a larger original
+    slot on ties), and when no candidate is feasible every finite-q
+    candidate still solves (skip requires a finite best), reproducing the
+    baseline's slot-0 fallback exactly. Validated bit-for-bit in
+    tests/test_pallas_nlmpc_step.py.
     """
     tile = tile_rows * 128
     n = num_horizon
@@ -71,6 +88,11 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                          "controller (nonlinear_lmpc.py:199-213)")
     k = int(params.num_ss_points)
     nsi = int(params.num_ss_iter)
+    if qsort_skip and nsi != 1:
+        raise ValueError(
+            "qsort_skip reorders candidates within the single safe-set lap; "
+            "with nsi > 1 the lexicographic ROW comparison depends on every "
+            "candidate's cost, so skipped solves would change selection")
     t_rows = max_steps
     consts = bake_nlmpc_consts(limits, dt)
     shp = (tile_rows, 128)
@@ -135,43 +157,113 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                     cand_ok[ci] = jnp.isfinite(dmin).astype(jnp.float32)
                     d = jnp.where(m, inf, d)
 
-            # --- solve all candidates (one while_loop instance) ---
-            def solve_ci(ci, _):
-                xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
-                us, _xs, _te, feasible = F.feasibility_solve(
-                    x0c, xt, obs, warm, skip_f, max_iters, num_starts,
-                    skip_converged_starts=zeros_skip)
-                if store_solutions:
-                    for i in range(n):
-                        sol_us[ci, i, 0] = us[i][0].reshape(tile)
-                        sol_us[ci, i, 1] = us[i][1].reshape(tile)
-                q = cand_q[ci].reshape(shp)
-                okc = cand_ok[ci].reshape(shp) > 0.5
-                cost = jnp.where((feasible > 0.5) & okc,
-                                 float(n) + q, inf)
-                cost_sc[ci] = cost.reshape(tile)
-                return 0
+            if qsort_skip:
+                # --- q-sorted candidate solves with dominance skip ---
+                # stable per-lane rank by (q, original slot); invalid
+                # candidates (q -> +inf) rank last
+                inf_t = jnp.full(shp, jnp.inf, jnp.float32)
+                qe = [jnp.where(cand_ok[j].reshape(shp) > 0.5,
+                                cand_q[j].reshape(shp), inf_t)
+                      for j in range(k)]
+                rank = []
+                for j in range(k):
+                    r = jnp.zeros(shp, jnp.int32)
+                    for i in range(k):
+                        if i == j:
+                            continue
+                        ahead = (qe[i] < qe[j]) | ((qe[i] == qe[j])
+                                                   & (i < j))
+                        r = r + ahead.astype(jnp.int32)
+                    rank.append(r)
 
-            jax.lax.fori_loop(0, nc, solve_ci, 0)
+                def solve_pos(p, carry):
+                    best_cost, best_slot, best_pos = carry
+                    sel = [rank[j] == p for j in range(k)]
+                    xt, q_p, ok_p = [], inf_t, jnp.zeros(shp, jnp.float32)
+                    slot_p = jnp.zeros(shp, jnp.int32)
+                    for c in range(4):
+                        v = jnp.zeros(shp, jnp.float32)
+                        for j in range(k):
+                            v = jnp.where(sel[j], cand_xt[j, c].reshape(shp),
+                                          v)
+                        xt.append(v)
+                    for j in range(k):
+                        q_p = jnp.where(sel[j], cand_q[j].reshape(shp), q_p)
+                        ok_p = jnp.where(sel[j], cand_ok[j].reshape(shp),
+                                         ok_p)
+                        slot_p = jnp.where(sel[j], j, slot_p)
+                    q_eff = jnp.where(ok_p > 0.5, q_p, inf_t)
+                    # positions are q-ascending: once best is finite, this
+                    # and every later candidate has n + q >= best and can
+                    # only tie with a LARGER original slot (stable rank) —
+                    # pre-done is selection-invariant. Position 0 always
+                    # solves (the all-infeasible slot-0 fallback).
+                    lane_skip = (float(n) + q_eff >= best_cost) & (p > 0)
+                    skip_all = jnp.maximum(skip_f,
+                                           lane_skip.astype(jnp.float32))
+                    us, _xs, _te, feasible = F.feasibility_solve(
+                        x0c, tuple(xt), obs, warm, skip_all, max_iters,
+                        num_starts, skip_converged_starts=zeros_skip)
+                    if store_solutions:
+                        for i in range(n):
+                            sol_us[p, i, 0] = us[i][0].reshape(tile)
+                            sol_us[p, i, 1] = us[i][1].reshape(tile)
+                    cost = jnp.where((feasible > 0.5) & (ok_p > 0.5)
+                                     & ~lane_skip, float(n) + q_p, inf)
+                    upd = cost < best_cost  # ties keep the earlier position
+                    return (jnp.where(upd, cost, best_cost),
+                            jnp.where(upd, slot_p, best_slot),
+                            jnp.where(upd, p, best_pos))
 
-            # --- lexicographic row-min + argmin over k (base.py:605-611;
-            # shared tile helper) ---
-            rows = [[cost_sc[off * k + kk].reshape(shp)
-                     for kk in range(k)] for off in range(nsi)]
-            best_row, best_col, best_cost = lex_argmin_tile(rows, shp)
-            ci_sel = best_row * k + best_col
+                # all-infeasible fallback = original slot 0 (its position is
+                # solved then: skip requires a FINITE best)
+                best_cost, best_slot, best_pos = jax.lax.fori_loop(
+                    0, k, solve_pos,
+                    (inf_t, jnp.zeros(shp, jnp.int32), rank[0]))
+                best_row = jnp.zeros(shp, jnp.int32)
+                best_col = best_slot
+                ci_sel = best_slot
+                store_sel = best_pos  # solutions are stored by POSITION
+            else:
+                # --- solve all candidates (one while_loop instance) ---
+                def solve_ci(ci, _):
+                    xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
+                    us, _xs, _te, feasible = F.feasibility_solve(
+                        x0c, xt, obs, warm, skip_f, max_iters, num_starts,
+                        skip_converged_starts=zeros_skip)
+                    if store_solutions:
+                        for i in range(n):
+                            sol_us[ci, i, 0] = us[i][0].reshape(tile)
+                            sol_us[ci, i, 1] = us[i][1].reshape(tile)
+                    q = cand_q[ci].reshape(shp)
+                    okc = cand_ok[ci].reshape(shp) > 0.5
+                    cost = jnp.where((feasible > 0.5) & okc,
+                                     float(n) + q, inf)
+                    cost_sc[ci] = cost.reshape(tile)
+                    return 0
+
+                jax.lax.fori_loop(0, nc, solve_ci, 0)
+
+                # --- lexicographic row-min + argmin over k (base.py:605-611;
+                # shared tile helper) ---
+                rows = [[cost_sc[off * k + kk].reshape(shp)
+                         for kk in range(k)] for off in range(nsi)]
+                best_row, best_col, best_cost = lex_argmin_tile(rows, shp)
+                ci_sel = best_row * k + best_col
+                store_sel = ci_sel
             idx_sel = jnp.zeros(shp, jnp.int32)
             len_sel = jnp.zeros(shp, jnp.int32)
             if store_solutions:
                 us_sel = [jnp.zeros(shp, jnp.float32) for _ in range(2 * n)]
                 for ci in range(nc):
                     sel = ci_sel == ci
+                    s_sel = store_sel == ci
                     for i in range(n):
                         us_sel[2 * i] = jnp.where(
-                            sel, sol_us[ci, i, 0].reshape(shp),
+                            s_sel, sol_us[ci, i, 0].reshape(shp),
                             us_sel[2 * i])
                         us_sel[2 * i + 1] = jnp.where(
-                            sel, sol_us[ci, i, 1].reshape(shp),
+                            s_sel, sol_us[ci, i, 1].reshape(shp),
                             us_sel[2 * i + 1])
                     idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
                                         idx_sel)
@@ -296,4 +388,5 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     solve_api.max_iters = max_iters
     solve_api.store_solutions = store_solutions
     solve_api.zeros_skip = zeros_skip
+    solve_api.qsort_skip = qsort_skip
     return solve_api

@@ -128,3 +128,39 @@ def test_nlmpc_step_kernel_moving_obstacle_bitwise():
                                 obstacle, b=128, num_laps=2, cap=8,
                                 tile_rows=1)
     _assert_bitwise(composed, fused)
+
+
+@pytest.mark.slow
+def test_nlmpc_step_kernel_qsort_skip_bitwise():
+    """qsort_skip (q-sorted candidate solves + running-best dominance skip,
+    nsi=1 only) must be BITWISE neutral: the candidate cost n + Qfun is
+    known pre-solve and the stable q-rank puts equal-q candidates in
+    original-slot order, so the first feasible position IS the first-min
+    argmin and skipped solves cannot change the selection, the stored
+    solution, the advanced guess, or the warm-start shift."""
+    setup = _setup()
+    params, limits, seed_xs, seed_us, xcl, obstacle = setup
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 128,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, max_lm_iters=8,
+              sim_step_budget=70)
+    key = jax.random.PRNGKey(23)
+    runs = []
+    for qsort in (False, True):
+        solver = build_fused_nlmpc_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=8, max_iters=8, tile_rows=1,
+            qsort_skip=qsort, interpret=True)
+        runs.append(simulate_nlmpc_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+            pallas_step_solver=solver, **kw))
+    _assert_bitwise(runs[0], runs[1])
+
+
+def test_nlmpc_step_kernel_qsort_skip_requires_nsi1():
+    params, limits, *_ = _setup(num_ss_iter=2)
+    with pytest.raises(ValueError, match="qsort_skip"):
+        build_fused_nlmpc_step(params, limits, 1.0,
+                               num_horizon=params.num_horizon, max_steps=128,
+                               max_laps=8, max_iters=8, tile_rows=1,
+                               qsort_skip=True, interpret=True)
