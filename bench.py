@@ -71,12 +71,15 @@ def main():
             build_fused_i2lqr_step)
         # dedup=True: in-kernel cross-pass candidate dedup, bitwise-neutral
         # (+23% measured: 62.7k vs 50.9k lap-sims/s)
-        # dom_skip=True: cost-dominance candidate skip, bitwise-neutral
-        # (+5% measured: 68.7k vs 65.6k at B=49152)
+        # qsort_skip=True: q-sorted candidate solves + strict running-best
+        # dominance skip (supersedes dom_skip) — position-indexed skips are
+        # tile-coherent, so whole tiles exit the LM loop at iteration zero.
+        # Bitwise-neutral (tests/test_pallas_i2lqr_step.py + verified on
+        # hardware); 1.88x measured: 130.1k vs 69.1k lap-sims/s at B=49152.
         kw["pallas_step_solver"] = build_fused_i2lqr_step(
             params, limits, 1.0, num_horizon=params.num_horizon,
             max_steps=max_steps, max_laps=8, max_iter=16, tile_rows=8,
-            dedup=True, dom_skip=True)
+            dedup=True, qsort_skip=True)
         solver_backend = "pallas_step"
 
     def run(seed):

@@ -78,7 +78,8 @@ def run_sweep(batch: int, num_laps: int, moving: bool = False,
             params, limits, 1.0, num_horizon=params.num_horizon,
             max_steps=max_steps, max_laps=8, max_iter=solver_max_iter,
             tile_rows=8, dedup=True, stream_safe_set=big,
-            store_solutions=not big)
+            store_solutions=not big,
+            qsort_skip=(num_ss_iter == 1))  # bitwise-neutral, nsi=1 only
     elif use_pallas and (params.num_ss_points * batch) % (64 * 128) == 0:
         from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import build_fused_ilqr
         kw["pallas_solver"] = build_fused_ilqr(

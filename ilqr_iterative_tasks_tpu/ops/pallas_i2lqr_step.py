@@ -55,6 +55,7 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                            max_laps: int, max_iter: int = 150,
                            tile_rows: int = 8, dedup: bool = False,
                            dom_skip: bool = False, group: int = 1,
+                           qsort_skip: bool = False,
                            stream_safe_set: bool = False,
                            store_solutions: bool = True,
                            with_stats: bool = False,
@@ -132,11 +133,39 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     group to the max of its members' trip counts. Bitwise-neutral (done
     lanes freeze; per-lane results are lockstep-invariant — validated in
     tests/test_pallas_i2lqr_step.py).
+
+    ``qsort_skip`` (nsi=1, group=1, no stats; supersedes ``dom_skip``):
+    candidates solve in per-lane Q-ASCENDING order (stable 8-wide VPU rank
+    network) with a STRICT running-best dominance skip on the q + n + 100
+    lower bound. q-ordering makes the skip pattern POSITION-indexed and
+    therefore tile-coherent — all lanes solve their own min-q candidates
+    first and skip the same tail positions, so whole tiles exit the LM
+    while_loop at iteration zero (the identity-indexed ``dom_skip`` only
+    saved ~5% because noise decorrelates which candidate ids skip; the same
+    reordering bought the NLMPC kernel 2.54x). BITWISE-neutral: the
+    traversal maintains the lexicographic (cost, original slot) minimum, so
+    ties resolve exactly as the baseline first-min argmin; the skip is
+    STRICT (lb > running best) because i2LQR's tier-quantized costs can tie
+    across different q — a skipped candidate therefore has cost > the final
+    best and can never tie it; and with an infinite best every finite-q
+    candidate still solves, preserving the all-infeasible slot-0 fallback.
+    Composes with ``dedup`` (cache entries are stored by position; matching
+    is by safe-set row index, and any match substitutes the identical pure
+    result). Validated bit-for-bit in tests/test_pallas_i2lqr_step.py.
     """
     if dom_skip and int(params.num_ss_iter) != 1:
         raise ValueError("dom_skip requires num_ss_iter == 1 (the "
                          "lexicographic row-min over laps needs exact "
                          "per-candidate costs, base.py:462)")
+    if qsort_skip:
+        if int(params.num_ss_iter) != 1:
+            raise ValueError("qsort_skip requires num_ss_iter == 1 (the "
+                             "lexicographic row-min over laps needs exact "
+                             "per-candidate costs, base.py:462)")
+        if dom_skip:
+            raise ValueError("qsort_skip supersedes dom_skip — enable one")
+        if group > 1 or with_stats:
+            raise ValueError("qsort_skip supports group=1 without stats")
     if (params.num_ss_iter * params.num_ss_points) % group != 0:
         raise ValueError(f"group={group} must divide nsi*k")
     if group > 1 and with_stats:
@@ -450,18 +479,177 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                             best_sf = fin(ci, aux, us, xs, dist, best_sf)
                     return (best_sf, upass)
 
-                carry0 = (jnp.full(shp, inf) if dom_skip else jnp.float32(0),
-                          jnp.zeros(shp, jnp.float32) if with_stats
-                          else jnp.float32(0))
-                _best, upass_fin = jax.lax.fori_loop(0, nc // group,
-                                                     solve_group, carry0)
+                if qsort_skip:
+                    upass_fin = jnp.float32(0)
+                    # stable per-lane rank by (q, original slot); invalid
+                    # candidates (q -> +inf) rank last. nsi == 1: the only
+                    # lap row is slots [0, k).
+                    qe = [jnp.where(cand_ok[j] > 0.5, cand_q[j], inf)
+                          for j in range(k)]
+                    rank = []
+                    for j in range(k):
+                        r = jnp.zeros((tile,), jnp.int32)
+                        for i2 in range(k):
+                            if i2 == j:
+                                continue
+                            ahead = (qe[i2] < qe[j]) | ((qe[i2] == qe[j])
+                                                        & (i2 < j))
+                            r = r + ahead.astype(jnp.int32)
+                        rank.append(r)
 
-                # --- selection: lexicographic row-min over the nsi laps,
-                # then first-min argmin over k (shared tile helper) ---
-                rows = [[cost_sc[off * k + kk].reshape(shp)
-                         for kk in range(k)] for off in range(nsi)]
-                best_row, best_col, _best_cost = lex_argmin_tile(rows, shp)
-                ci_sel = best_row * k + best_col
+                    def solve_pos(p, carry):
+                        best_cost, best_slot, best_pos = carry  # flat (tile,)
+                        sel = [rank[j] == p for j in range(k)]
+                        xt_f = []
+                        for c in range(4):
+                            v = jnp.zeros((tile,), jnp.float32)
+                            for j in range(k):
+                                v = jnp.where(sel[j], cand_xt[j, c], v)
+                            xt_f.append(v)
+                        q_p = jnp.full((tile,), inf)
+                        ok_p = jnp.zeros((tile,), jnp.float32)
+                        my_idx = jnp.zeros((tile,), jnp.int32)
+                        slot_p = jnp.zeros((tile,), jnp.int32)
+                        for j in range(k):
+                            q_p = jnp.where(sel[j], cand_q[j], q_p)
+                            ok_p = jnp.where(sel[j], cand_ok[j], ok_p)
+                            my_idx = jnp.where(sel[j], cand_idx[j], my_idx)
+                            slot_p = jnp.where(sel[j], j, slot_p)
+                        okf = ok_p > 0.5
+                        # STRICT dominance on the q + n + 100 lower bound:
+                        # positions are q-ascending, so once the bound
+                        # exceeds the running best it stays exceeded; strict
+                        # (not >=) because tier-quantized costs can tie
+                        # across different q and first-min keeps the
+                        # SMALLER ORIGINAL SLOT, which q-order does not
+                        # preserve across unequal q. Position 0 always
+                        # solves (all-infeasible slot-0 fallback).
+                        lb = jnp.where(okf, q_p, inf) + float(n) + 100.0
+                        dom = ((lb > best_cost) | ~okf) & (p > 0)
+                        dom_f = dom.astype(jnp.float32)
+                        done0 = jnp.maximum(skip_f, dom_f.reshape(shp))
+                        if dedup:
+                            dup = jnp.zeros((tile,), jnp.float32)
+                            if store_solutions:
+                                sub_us = [jnp.zeros((tile,), jnp.float32)
+                                          for _ in range(2 * n)]
+                                sub_xl = [jnp.zeros((tile,), jnp.float32)
+                                          for _ in range(4)]
+                            sub_d = jnp.zeros((tile,), jnp.float32)
+                            for pp in range(2):
+                                for kk2 in range(k):
+                                    e = pp * nc + kk2
+                                    m = ((my_idx == cache_idx[e])
+                                         & (cache_ok[e] > 0.5) & okf
+                                         & (pp < p_idx))
+                                    take = m & (dup < 0.5)
+                                    if store_solutions:
+                                        for i2 in range(n):
+                                            sub_us[2 * i2] = jnp.where(
+                                                take, cache_us[e, i2, 0],
+                                                sub_us[2 * i2])
+                                            sub_us[2 * i2 + 1] = jnp.where(
+                                                take, cache_us[e, i2, 1],
+                                                sub_us[2 * i2 + 1])
+                                        for c in range(4):
+                                            sub_xl[c] = jnp.where(
+                                                take, cache_xl[e, c],
+                                                sub_xl[c])
+                                    sub_d = jnp.where(take, cache_d[e],
+                                                      sub_d)
+                                    dup = jnp.maximum(
+                                        dup, m.astype(jnp.float32))
+                            # f32 reshape then compare (Mosaic cannot
+                            # reshape 1D i1 vectors to (rows, 128))
+                            dup2 = dup.reshape(shp) > 0.5
+                            done0 = jnp.maximum(done0, dup.reshape(shp))
+                        xt_s = tuple(xt_f[c].reshape(shp) for c in range(4))
+                        us, xs, _cost_s, dist, _u = do_solve(
+                            xt_s, done0, zeros_ui)
+                        if dedup:
+                            dist = jnp.where(dup2, sub_d.reshape(shp), dist)
+                        if store_solutions:
+                            us_m, xl_m = [], []
+                            for i2 in range(n):
+                                ua, ud = us[i2][0], us[i2][1]
+                                if dedup:
+                                    ua = jnp.where(
+                                        dup2, sub_us[2 * i2].reshape(shp),
+                                        ua)
+                                    ud = jnp.where(
+                                        dup2,
+                                        sub_us[2 * i2 + 1].reshape(shp), ud)
+                                us_m += [ua, ud]
+                            for c in range(4):
+                                xl = xs[n][c]
+                                if dedup:
+                                    xl = jnp.where(
+                                        dup2, sub_xl[c].reshape(shp), xl)
+                                xl_m.append(xl)
+                            # solutions stored by POSITION p
+                            for i2 in range(n):
+                                sol_us[p, i2, 0] = us_m[2 * i2].reshape(tile)
+                                sol_us[p, i2, 1] = us_m[2 * i2
+                                                        + 1].reshape(tile)
+                            for c in range(4):
+                                sol_xl[p, c] = xl_m[c].reshape(tile)
+                        # relaxed reach cost (base.py:427-437)
+                        i_rel = jnp.maximum(
+                            jnp.ceil(dist / unit - 1e-12), 1.0)
+                        cost = jnp.where(
+                            dist <= unit * consts.max_relax_iter,
+                            q_p.reshape(shp) + float(n) + 100.0 * i_rel,
+                            inf)
+                        cost = jnp.where(ok_p.reshape(shp) > 0.5, cost, inf)
+                        cost = jnp.where(dom_f.reshape(shp) > 0.5, inf, cost)
+                        if dedup:
+                            @pl.when(p_idx < 2)
+                            def _store():
+                                slot = p_idx * nc + p
+                                cache_idx[slot] = my_idx
+                                cache_ok[slot] = ok_p * (1.0 - dom_f)
+                                if store_solutions:
+                                    for i2 in range(n):
+                                        cache_us[slot, i2, 0] = sol_us[p, i2,
+                                                                       0]
+                                        cache_us[slot, i2, 1] = sol_us[p, i2,
+                                                                       1]
+                                    for c in range(4):
+                                        cache_xl[slot, c] = sol_xl[p, c]
+                                cache_d[slot] = dist.reshape(tile)
+                        # lexicographic (cost, original slot) minimum ==
+                        # the baseline first-min argmin
+                        cost_f = cost.reshape(tile)
+                        upd = (cost_f < best_cost) | ((cost_f == best_cost)
+                                                      & (slot_p < best_slot))
+                        return (jnp.where(upd, cost_f, best_cost),
+                                jnp.where(upd, slot_p, best_slot),
+                                jnp.where(upd, p, best_pos))
+
+                    best_cost_q, best_slot_q, best_pos_q = jax.lax.fori_loop(
+                        0, nc, solve_pos,
+                        (jnp.full((tile,), inf),
+                         jnp.zeros((tile,), jnp.int32), rank[0]))
+                    best_row = jnp.zeros(shp, jnp.int32)
+                    best_col = best_slot_q.reshape(shp)
+                    ci_sel = best_col
+                    store_sel = best_pos_q.reshape(shp)
+                else:
+                    carry0 = (jnp.full(shp, inf) if dom_skip
+                              else jnp.float32(0),
+                              jnp.zeros(shp, jnp.float32) if with_stats
+                              else jnp.float32(0))
+                    _best, upass_fin = jax.lax.fori_loop(0, nc // group,
+                                                         solve_group, carry0)
+
+                    # --- selection: lexicographic row-min over the nsi
+                    # laps, then first-min argmin over k (shared helper) ---
+                    rows = [[cost_sc[off * k + kk].reshape(shp)
+                             for kk in range(k)] for off in range(nsi)]
+                    best_row, best_col, _best_cost = lex_argmin_tile(rows,
+                                                                     shp)
+                    ci_sel = best_row * k + best_col
+                    store_sel = ci_sel
                 idx_sel = jnp.zeros(shp, jnp.int32)
                 len_sel = jnp.zeros(shp, jnp.int32)
                 if store_solutions:
@@ -470,16 +658,17 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                     xl_sel = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
                     for ci in range(nc):
                         sel = ci_sel == ci
+                        s_sel = store_sel == ci
                         for i in range(n):
                             us_sel[2 * i] = jnp.where(
-                                sel, sol_us[ci, i, 0].reshape(shp),
+                                s_sel, sol_us[ci, i, 0].reshape(shp),
                                 us_sel[2 * i])
                             us_sel[2 * i + 1] = jnp.where(
-                                sel, sol_us[ci, i, 1].reshape(shp),
+                                s_sel, sol_us[ci, i, 1].reshape(shp),
                                 us_sel[2 * i + 1])
                         for c in range(4):
                             xl_sel[c] = jnp.where(
-                                sel, sol_xl[ci, c].reshape(shp), xl_sel[c])
+                                s_sel, sol_xl[ci, c].reshape(shp), xl_sel[c])
                         idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
                                             idx_sel)
                 else:
@@ -623,6 +812,7 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     solve_api.max_iter = max_iter
     solve_api.dedup = dedup
     solve_api.dom_skip = dom_skip
+    solve_api.qsort_skip = qsort_skip
     solve_api.group = group
     solve_api.stream_safe_set = stream_safe_set
     solve_api.store_solutions = store_solutions

@@ -221,3 +221,49 @@ def test_step_kernel_moving_obstacle_bitwise():
                                 obstacle, b=128, num_laps=2, cap=8,
                                 tile_rows=1)
     _assert_bitwise(composed, fused)
+
+
+@pytest.mark.slow
+def test_step_kernel_qsort_skip_bitwise_neutral():
+    """q-sorted dominance skip (qsort_skip) must be bitwise-neutral vs the
+    plain dedup step kernel in a full closed-loop learning sim: the
+    traversal keeps the lexicographic (cost, original slot) minimum so ties
+    resolve exactly as the first-min argmin; the STRICT lower-bound skip
+    means a skipped candidate's cost strictly exceeds the final best (the
+    tier-quantized costs can tie across different q, which is why >= would
+    be wrong here); dedup cache entries stored by position substitute the
+    identical pure results."""
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 128,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=8,
+              sim_step_budget=70)
+    key = jax.random.PRNGKey(29)
+    runs = []
+    for variant in (dict(dedup=True), dict(dedup=True, qsort_skip=True),
+                    dict(qsort_skip=True)):
+        solver = build_fused_i2lqr_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=8, max_iter=8, tile_rows=1,
+            interpret=True, **variant)
+        runs.append(simulate_learning_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+            pallas_step_solver=solver, **kw))
+    _assert_bitwise(runs[0], runs[1])
+    _assert_bitwise(runs[0], runs[2])
+
+
+def test_step_kernel_qsort_skip_builder_guards():
+    params, limits, *_ = _setup(num_ss_iter=2)
+    with pytest.raises(ValueError, match="qsort_skip"):
+        build_fused_i2lqr_step(params, limits, 1.0,
+                               num_horizon=params.num_horizon, max_steps=128,
+                               max_laps=8, max_iter=8, tile_rows=1,
+                               qsort_skip=True, interpret=True)
+    params1 = _setup()[0]
+    with pytest.raises(ValueError, match="supersedes"):
+        build_fused_i2lqr_step(params1, limits, 1.0,
+                               num_horizon=params1.num_horizon, max_steps=128,
+                               max_laps=8, max_iter=8, tile_rows=1,
+                               qsort_skip=True, dom_skip=True,
+                               interpret=True)
