@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
         tile_rows: int = 128, noise_on: bool = True, dedup: bool = False,
-        step: bool = False):
+        step: bool = False, stats: bool = False):
     from ilqr_iterative_tasks_tpu.control.batched_soa import (
         SoaScenarios, simulate_learning_runs_soa)
     from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
@@ -48,15 +48,19 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
     kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
               solver_max_iter=solver_max_iter)
     backend = "soa"
-    if step:
+    if step or stats:
         # whole-control-step fused kernel (tile_rows fixed at 8: 4 violates
-        # the f32 (8, 128) reshape tiling, 16 overflows VMEM on v5e)
+        # the f32 (8, 128) reshape tiling, 16 overflows VMEM on v5e).
+        # --stats: the HEADLINE config (dedup + qsort_skip) instrumented
+        # with in-kernel useful/executed LM-trip counters — the roofline
+        # numbers in docs/PERF.md come from this probe.
         from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (
             build_fused_i2lqr_step)
         kw["pallas_step_solver"] = build_fused_i2lqr_step(
             params, limits, 1.0, num_horizon=params.num_horizon,
             max_steps=max_steps, max_laps=8, max_iter=solver_max_iter,
-            tile_rows=8, interpret=not on_tpu)
+            tile_rows=8, interpret=not on_tpu,
+            dedup=stats, qsort_skip=stats, with_stats=stats)
         backend = "pallas_step"
     elif on_tpu:
         kw["pallas_solver"] = build_fused_ilqr(
@@ -81,13 +85,21 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
     mean_steps = [round(float(v), 2)
                   for v in jnp.mean(out.lap_steps.astype(jnp.float32),
                                     axis=-1)]
-    print(json.dumps({
+    rec = {
         "batch": batch, "tile_rows": tile_rows, "cap": solver_max_iter,
         "dedup": dedup, "solver_backend": backend,
         "lap_sims_per_s": round(rate, 1),
         "seconds": round(dt_s, 2), "compile_s": round(compile_s, 1),
         "completion": round(done, 4),
-        "mean_lap_steps": mean_steps}), flush=True)
+        "mean_lap_steps": mean_steps}
+    if stats and out.iter_stats:
+        useful, execd, _qfloor = (np.asarray(a, np.float64)
+                                  for a in out.iter_stats)
+        rec["useful_iters_per_lane"] = round(float(useful.mean()), 1)
+        rec["executed_iters_per_lane"] = round(float(execd.mean()), 1)
+        rec["straggler_waste"] = round(
+            1.0 - float(useful.sum()) / float(execd.sum()), 4)
+    print(json.dumps(rec), flush=True)
 
 
 def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
@@ -162,8 +174,10 @@ if __name__ == "__main__":
     pallas = "--pallas" in argv
     dedup = "--dedup" in argv
     step = "--step" in argv
+    stats = "--stats" in argv
     argv = [a for a in argv
-            if a not in ("--nlmpc", "--pallas", "--dedup", "--step")]
+            if a not in ("--nlmpc", "--pallas", "--dedup", "--step",
+                         "--stats")]
     for arg in argv or (["8192"] if nlmpc else ["65536"]):
         if nlmpc:
             if ":" in arg:
@@ -177,6 +191,6 @@ if __name__ == "__main__":
             parts = arg.split(":")
             run(int(parts[0]), tile_rows=int(parts[1]),
                 solver_max_iter=int(parts[2]) if len(parts) > 2 else 40,
-                dedup=dedup, step=step)
+                dedup=dedup, step=step, stats=stats)
         else:
-            run(int(arg), dedup=dedup, step=step)
+            run(int(arg), dedup=dedup, step=step, stats=stats)

@@ -109,6 +109,10 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     useful iterations + 1 arrival trip per candidate) — the predicted cost of
     restructuring the candidate fori_loop into one while_loop where each lane
     streams through its own candidates. Solver decisions are unchanged.
+    Composes with ``qsort_skip``: useful/executed then count only the
+    positions the early-terminated q-sorted loop actually runs (that is the
+    point — they measure the realized skip), while ``queue_floor`` reads 0
+    (the work-queue alternative was sized against the unsorted schedule).
 
     ``dom_skip`` (requires num_ss_iter == 1): cost-dominance candidate skip.
     The relaxed reach cost is bounded below by q + n + 100 (i_rel >= 1,
@@ -151,7 +155,12 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     candidate still solves, preserving the all-infeasible slot-0 fallback.
     Composes with ``dedup`` (cache entries are stored by position; matching
     is by safe-set row index, and any match substitutes the identical pure
-    result). Validated bit-for-bit in tests/test_pallas_i2lqr_step.py.
+    result). The position loop terminates at tile level once every active
+    lane is dominated: dominance is monotone in position (q ascends per
+    lane and a dominated position never lowers the running best), so the
+    remaining tail cannot change any lane's selection — the per-position
+    body overhead (candidate selects, dedup matching, LM loop entry) is not
+    paid for it. Validated bit-for-bit in tests/test_pallas_i2lqr_step.py.
     """
     if dom_skip and int(params.num_ss_iter) != 1:
         raise ValueError("dom_skip requires num_ss_iter == 1 (the "
@@ -164,8 +173,8 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                              "per-candidate costs, base.py:462)")
         if dom_skip:
             raise ValueError("qsort_skip supersedes dom_skip — enable one")
-        if group > 1 or with_stats:
-            raise ValueError("qsort_skip supports group=1 without stats")
+        if group > 1:
+            raise ValueError("qsort_skip supports group=1 only")
     if (params.num_ss_iter * params.num_ss_points) % group != 0:
         raise ValueError(f"group={group} must divide nsi*k")
     if group > 1 and with_stats:
@@ -233,6 +242,13 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
             zeros_ui = tuple(jnp.zeros(shp, jnp.float32)
                              for _ in range(2 * n))
             inf = jnp.float32(jnp.inf)
+            if dedup and qsort_skip:
+                # qsort's early-terminated position loop no longer writes an
+                # ok=0 entry for every dominated tail position — zero the
+                # cache validity ONCE so never-reached slots cannot match
+                # as stale garbage in later passes (equivalent to the full
+                # loop's ok_p * (1 - dom_f) = 0 store).
+                cache_ok[...] = jnp.zeros((2 * nc, tile), jnp.float32)
 
             def do_solve(xt_s, done0_s, ui_s):
                 """lm_solve + (optional) straggler-stats accumulation.
@@ -497,8 +513,11 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                             r = r + ahead.astype(jnp.int32)
                         rank.append(r)
 
-                    def solve_pos(p, carry):
-                        best_cost, best_slot, best_pos = carry  # flat (tile,)
+                    def solve_pos(state):
+                        # flat (tile,) carries; alive is the tile-level
+                        # early-termination flag (f32 scalar — Mosaic
+                        # miscompiles i1 while carries)
+                        p, alive, best_cost, best_slot, best_pos = state
                         sel = [rank[j] == p for j in range(k)]
                         xt_f = []
                         for c in range(4):
@@ -622,14 +641,28 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                         cost_f = cost.reshape(tile)
                         upd = (cost_f < best_cost) | ((cost_f == best_cost)
                                                       & (slot_p < best_slot))
-                        return (jnp.where(upd, cost_f, best_cost),
+                        # tile-level early termination: dominance is
+                        # MONOTONE in position (q ascends per lane; a
+                        # dominated position never lowers the running
+                        # best), so once every ACTIVE lane of the tile is
+                        # dominated at p, every later position is too —
+                        # stop paying the per-position body (candidate
+                        # selects, dedup matching, LM loop entry) for the
+                        # tail. Sim-skip lanes must not hold the loop open.
+                        alive_nxt = jnp.max((1.0 - skip_f)
+                                            * (1.0 - dom_f.reshape(shp)))
+                        return (p + 1, alive_nxt,
+                                jnp.where(upd, cost_f, best_cost),
                                 jnp.where(upd, slot_p, best_slot),
                                 jnp.where(upd, p, best_pos))
 
-                    best_cost_q, best_slot_q, best_pos_q = jax.lax.fori_loop(
-                        0, nc, solve_pos,
-                        (jnp.full((tile,), inf),
-                         jnp.zeros((tile,), jnp.int32), rank[0]))
+                    _p_fin, _a_fin, best_cost_q, best_slot_q, best_pos_q = \
+                        jax.lax.while_loop(
+                            lambda s: (s[0] < nc) & (s[1] > 0.5),
+                            solve_pos,
+                            (jnp.int32(0), jnp.float32(1.0),
+                             jnp.full((tile,), inf),
+                             jnp.zeros((tile,), jnp.int32), rank[0]))
                     best_row = jnp.zeros(shp, jnp.int32)
                     best_col = best_slot_q.reshape(shp)
                     ci_sel = best_col

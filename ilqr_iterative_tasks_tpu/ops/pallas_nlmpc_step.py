@@ -78,8 +78,12 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     skipped position can never beat it (cost >= best with a larger original
     slot on ties), and when no candidate is feasible every finite-q
     candidate still solves (skip requires a finite best), reproducing the
-    baseline's slot-0 fallback exactly. Validated bit-for-bit in
-    tests/test_pallas_nlmpc_step.py.
+    baseline's slot-0 fallback exactly. The position loop terminates at
+    tile level once every active lane is skipped: the skip predicate is
+    monotone in position (q ascends per lane and a skipped position never
+    lowers the running best), so the remaining tail cannot change any
+    lane's selection and its per-position body overhead is not paid.
+    Validated bit-for-bit in tests/test_pallas_nlmpc_step.py.
     """
     tile = tile_rows * 128
     n = num_horizon
@@ -176,8 +180,10 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                         r = r + ahead.astype(jnp.int32)
                     rank.append(r)
 
-                def solve_pos(p, carry):
-                    best_cost, best_slot, best_pos = carry
+                def solve_pos(state):
+                    # alive is the tile-level early-termination flag (f32
+                    # scalar — Mosaic miscompiles i1 while carries)
+                    p, alive, best_cost, best_slot, best_pos = state
                     sel = [rank[j] == p for j in range(k)]
                     xt, q_p, ok_p = [], inf_t, jnp.zeros(shp, jnp.float32)
                     slot_p = jnp.zeros(shp, jnp.int32)
@@ -211,15 +217,27 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                     cost = jnp.where((feasible > 0.5) & (ok_p > 0.5)
                                      & ~lane_skip, float(n) + q_p, inf)
                     upd = cost < best_cost  # ties keep the earlier position
-                    return (jnp.where(upd, cost, best_cost),
+                    # tile-level early termination: lane_skip is MONOTONE in
+                    # position (q ascends per lane; a skipped position never
+                    # lowers the running best), so once every ACTIVE lane is
+                    # skipped at p, every later position is too — stop
+                    # paying the per-position body for the tail. Sim-skip
+                    # lanes must not hold the loop open.
+                    alive_nxt = jnp.max(
+                        (1.0 - skip_f) * (1.0 - lane_skip.astype(jnp.float32)))
+                    return (p + 1, alive_nxt,
+                            jnp.where(upd, cost, best_cost),
                             jnp.where(upd, slot_p, best_slot),
                             jnp.where(upd, p, best_pos))
 
                 # all-infeasible fallback = original slot 0 (its position is
                 # solved then: skip requires a FINITE best)
-                best_cost, best_slot, best_pos = jax.lax.fori_loop(
-                    0, k, solve_pos,
-                    (inf_t, jnp.zeros(shp, jnp.int32), rank[0]))
+                _p_fin, _a_fin, best_cost, best_slot, best_pos = \
+                    jax.lax.while_loop(
+                        lambda s: (s[0] < k) & (s[1] > 0.5),
+                        solve_pos,
+                        (jnp.int32(0), jnp.float32(1.0), inf_t,
+                         jnp.zeros(shp, jnp.int32), rank[0]))
                 best_row = jnp.zeros(shp, jnp.int32)
                 best_col = best_slot
                 ci_sel = best_slot

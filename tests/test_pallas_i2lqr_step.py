@@ -178,6 +178,17 @@ def test_step_kernel_with_stats_decisions_unchanged():
     assert jnp.all(execd >= useful)
     assert float(jnp.max(useful[96:])) == 0.0
     assert jnp.all(qfloor >= 0.0)
+    # with_stats composes with qsort_skip: decisions still unchanged,
+    # executed now counts only the positions the early-terminated q-sorted
+    # loop actually runs — strictly fewer lockstep trips than the unsorted
+    # schedule on this config
+    qinst = build_fused_i2lqr_step(params, limits, 1.0, with_stats=True,
+                                   qsort_skip=True, **kw)
+    us2, sh2, useful_q, execd_q, _qf = qinst(
+        x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
+    assert jnp.all(us0 == us2) and jnp.all(sh0 == sh2)
+    assert jnp.all(execd_q >= useful_q)
+    assert float(jnp.sum(execd_q)) < float(jnp.sum(execd))
 
 
 @pytest.mark.slow
