@@ -126,6 +126,7 @@ def simulate_learning_run(params: IlqrParams, limits: SystemLimits,
 
         def one_pass(outer: int, x_guess):
             lap_rows_cost = []
+            lap_rows_cmp = []
             lap_rows_valid = []
             sols_all = []
             idx_all = []
@@ -142,6 +143,15 @@ def simulate_learning_run(params: IlqrParams, limits: SystemLimits,
                 d = jnp.linalg.norm(sols.xs[:, -1, :] - x_terms, axis=-1)
                 cost = _relaxed_cost(d, q_terms, float(n), outer,
                                      params.max_relax_iter)
+                # ragged list-min comparison tensor (base.py:462): overflow
+                # candidates (k > stored lap length, q poisoned to +inf by
+                # knn) are ABSENT from the reference's per-lap cost list; a
+                # strict-prefix list ranks below its extension, emulated by
+                # -inf in the comparison-only row (real costs keep +inf).
+                # Valid slots are a prefix (top_k ranks finite distances
+                # first), so -inf tail padding == Python list comparison.
+                lap_rows_cmp.append(jnp.where(jnp.isfinite(q_terms), cost,
+                                              -jnp.inf))
                 lap_rows_cost.append(cost)
                 lap_rows_valid.append(lap_ok)
                 sols_all.append(sols)
@@ -150,7 +160,8 @@ def simulate_learning_run(params: IlqrParams, limits: SystemLimits,
             cost_rows = jnp.stack(lap_rows_cost)  # (L, K)
             row_valid = jnp.stack(
                 [jnp.asarray(v) for v in lap_rows_valid])
-            best_row = lexicographic_argmin(cost_rows, row_valid)
+            best_row = lexicographic_argmin(jnp.stack(lap_rows_cmp),
+                                            row_valid)
             best_col = jnp.argmin(cost_rows[best_row])
             xs_stack = jnp.stack([s.xs for s in sols_all])  # (L, K, N+1, 4)
             us_stack = jnp.stack([s.us for s in sols_all])  # (L, K, N, 2)

@@ -384,6 +384,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             u_ws = zeros_ws
             rows_cost, rows_sol_us, rows_sol_xN, rows_idx, rows_lap = \
                 [], [], [], [], []
+            rows_cmp = []
             row_ok = []
             new_cache = []
             for off in range(nsi):
@@ -510,14 +511,28 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                 cost = jnp.where(d <= unit * params.max_relax_iter,
                                  q_terms + float(n) + 100.0 * i_rel, jnp.inf)
                 cost = jnp.where(cand_ok & lap_ok, cost, jnp.inf)
+                # ragged Python-list comparison tensor (base.py:462: min()
+                # over per-lap candidate cost LISTS): when k exceeds a
+                # stored lap's length the reference list is shorter, and a
+                # strict-prefix list ranks BELOW its extension — emulated by
+                # ranking absent tail slots -inf in a comparison-only tensor
+                # (mirrors batched_nlmpc_soa's general path; real costs keep
+                # +inf so the within-row argmin and feasibility mask are
+                # unchanged). INVARIANT: valid slots are a per-lane PREFIX
+                # of each row (_topk_select fills selectable rows first), so
+                # -inf padding == list comparison; rows of non-existent laps
+                # rank above everything.
+                cmp = jnp.where(lap_ok,
+                                jnp.where(cand_ok, cost, -jnp.inf), jnp.inf)
                 rows_cost.append(cost)
+                rows_cmp.append(cmp)
                 rows_sol_us.append(sol_us)  # (N, 2, K, B)
                 rows_sol_xN.append(x_last)  # (4, K, B)
                 rows_idx.append(idx_kb_sel)  # (K, B)
                 rows_lap.append(jnp.full((b,), lap_id_c, jnp.int32))
                 row_ok.append(lap_ok)
             cost_rows = jnp.stack(rows_cost)  # (L, K, B)
-            best_row = _lex_argmin_rows(cost_rows)  # (B,)
+            best_row = _lex_argmin_rows(jnp.stack(rows_cmp))  # (B,)
             row_cost = jnp.take_along_axis(
                 cost_rows, best_row[None, None, :].astype(jnp.int32),
                 axis=0)[0]  # (K, B)

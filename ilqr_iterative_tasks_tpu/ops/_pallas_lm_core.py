@@ -77,7 +77,7 @@ def lin4(m, row, d):
     return acc
 
 
-def lex_argmin_tile(rows, shp):
+def lex_argmin_tile(rows, shp, cmp_rows=None):
     """In-kernel candidate selection shared by both whole-step kernels.
 
     rows: list (per safe-set lap) of lists (per kNN slot) of (shp) f32 cost
@@ -86,11 +86,21 @@ def lex_argmin_tile(rows, shp):
     Python min() over per-lap cost lists, reference base.py:462/:605)
     followed by a first-min argmin over the k slots of the winning row.
 
+    ``cmp_rows`` (same structure as rows): optional comparison-only values
+    for the ROW-selection stage — the ragged Python-list emulation ranks
+    absent tail slots (k > stored lap length) -inf so a strict-prefix list
+    ranks below its extension, while ``rows`` keeps real +inf costs for the
+    within-row argmin and the all-infeasible test. Valid slots must be a
+    per-lane PREFIX of each row (kNN extraction fills selectable rows
+    first) for the -inf padding to equal list comparison.
+
     Boolean accumulators are carried as f32 0/1 — Mosaic cannot materialize
     accumulated i1 vectors on real TPU ('unsupported truncation').
     """
     nsi = len(rows)
     k = len(rows[0])
+    if cmp_rows is None:
+        cmp_rows = rows
     inf = jnp.float32(jnp.inf)
     best_row = jnp.zeros(shp, jnp.int32)
     for i in range(1, nsi):
@@ -98,14 +108,14 @@ def lex_argmin_tile(rows, shp):
         for off in range(nsi):
             sel = best_row == off
             for kk in range(k):
-                brow[kk] = jnp.where(sel, rows[off][kk], brow[kk])
+                brow[kk] = jnp.where(sel, cmp_rows[off][kk], brow[kk])
         any_diff = jnp.zeros(shp, jnp.float32)
         a_first = jnp.zeros(shp, jnp.float32)
         b_first = jnp.zeros(shp, jnp.float32)
         for kk in range(k - 1, -1, -1):
-            diff = rows[i][kk] != brow[kk]
+            diff = cmp_rows[i][kk] != brow[kk]
             any_diff = jnp.maximum(any_diff, diff.astype(jnp.float32))
-            a_first = jnp.where(diff, rows[i][kk], a_first)
+            a_first = jnp.where(diff, cmp_rows[i][kk], a_first)
             b_first = jnp.where(diff, brow[kk], b_first)
         less = (any_diff > 0.5) & (a_first < b_first)
         best_row = jnp.where(less, i, best_row)

@@ -138,7 +138,8 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     lanes freeze; per-lane results are lockstep-invariant — validated in
     tests/test_pallas_i2lqr_step.py).
 
-    ``qsort_skip`` (nsi=1, group=1, no stats; supersedes ``dom_skip``):
+    ``qsort_skip`` (nsi=1, group=1; supersedes ``dom_skip``; composes with
+    ``with_stats``, whose queue_floor output then reads 0 — see above):
     candidates solve in per-lane Q-ASCENDING order (stable 8-wide VPU rank
     network) with a STRICT running-best dominance skip on the q + n + 100
     lower bound. q-ordering makes the skip pattern POSITION-indexed and
@@ -676,11 +677,23 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                                                          solve_group, carry0)
 
                     # --- selection: lexicographic row-min over the nsi
-                    # laps, then first-min argmin over k (shared helper) ---
+                    # laps (ragged list-min semantics: absent slots rank
+                    # -inf in a comparison-only copy, base.py:462 — mirrors
+                    # batched_soa's rows_cmp), then first-min argmin over k
+                    # (shared helper) ---
                     rows = [[cost_sc[off * k + kk].reshape(shp)
                              for kk in range(k)] for off in range(nsi)]
-                    best_row, best_col, _best_cost = lex_argmin_tile(rows,
-                                                                     shp)
+                    cmp_rows = []
+                    for off in range(nsi):
+                        lap_ok_s = s_ref[nsi + off] > 0
+                        crow = []
+                        for kk in range(k):
+                            okf = cand_ok[off * k + kk].reshape(shp) > 0.5
+                            c = jnp.where(okf, rows[off][kk], -inf)
+                            crow.append(jnp.where(lap_ok_s, c, inf))
+                        cmp_rows.append(crow)
+                    best_row, best_col, _best_cost = lex_argmin_tile(
+                        rows, shp, cmp_rows=cmp_rows)
                     ci_sel = best_row * k + best_col
                     store_sel = ci_sel
                 idx_sel = jnp.zeros(shp, jnp.int32)
