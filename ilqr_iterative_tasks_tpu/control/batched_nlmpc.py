@@ -10,15 +10,17 @@ spaceVarying safe-set option:
 - one LM-shooting feasibility solve per candidate (ops/lm_shooting.py), warm
   started from the shifted previous solution,
 - candidate cost N + Qfun if feasible else Inf (nonlinear_lmpc.py:197),
-  lexicographic selection across laps (base.py:605),
-- terminal-guess advance to the successor safe-set point and warm-start shift
-  (base.py:619-639).
+  lexicographic selection across laps (base.py:605) with ragged-list
+  comparison semantics,
+- terminal-guess advance to the successor safe-set point and warm-start
+  shift with the chosen point's STORED input appended (base.py:619-639);
+  all-infeasible steps freeze guess/warm advances and hold the previous
+  input (base.py:605-611 — the reference pauses forever there).
 
-Documented deviations from the host path (fixed-shape requirements):
-- the horizon never shrinks (base.py:640-654); laps end by goal proximity,
-  which in practice fires before a shrink would (validated in tests),
-- an all-infeasible step holds the previous input (the host path raises; the
-  reference pauses forever, base.py:607-609).
+Documented deviation from the host path (fixed-shape requirement): the
+horizon never shrinks (base.py:640-654); laps end by goal proximity, which
+in practice fires before a shrink would (validated in tests; the SoA
+simulator's general path represents the shrink exactly).
 """
 
 from __future__ import annotations
@@ -66,7 +68,8 @@ def simulate_nlmpc_run(params: LmpcParams, limits: SystemLimits,
     def solve_step(ss: DeviceSafeSet, x, x_term_guess, u_warm, obstacle):
         """Returns (u (2,), feasible_any, new terminal guess, new u_warm)."""
         it = ss.num_laps
-        rows_cost, rows_us, rows_idx, rows_lap, rows_ok = [], [], [], [], []
+        rows_cost, rows_cmp, rows_us, rows_idx, rows_lap, rows_ok = (
+            [], [], [], [], [], [])
         for off in range(nsi):
             lap_id = it - nsi + off
             lap_ok = lap_id >= 0
@@ -77,6 +80,12 @@ def simulate_nlmpc_run(params: LmpcParams, limits: SystemLimits,
                 max_iters=max_lm_iters))(x_terms)
             cost = jnp.where(sols.feasible & lap_ok,
                              float(n) + q_terms, jnp.inf)
+            # ragged list-min comparison row (base.py:605): overflow slots
+            # (k > lap length, q poisoned +inf by knn) are absent from the
+            # reference's list — rank them -inf so a strict-prefix list
+            # beats its extension (see control/batched.py one_pass)
+            rows_cmp.append(jnp.where(jnp.isfinite(q_terms), cost,
+                                      -jnp.inf))
             rows_cost.append(cost)
             rows_us.append(sols.us)  # (K, N, 2)
             rows_idx.append(idx)
@@ -84,7 +93,7 @@ def simulate_nlmpc_run(params: LmpcParams, limits: SystemLimits,
             rows_ok.append(lap_ok)
         cost_rows = jnp.stack(rows_cost)  # (L, K)
         row_valid = jnp.stack([jnp.asarray(v) for v in rows_ok])
-        best_row = lexicographic_argmin(cost_rows, row_valid)
+        best_row = lexicographic_argmin(jnp.stack(rows_cmp), row_valid)
         best_col = jnp.argmin(cost_rows[best_row])
         us_sel = jnp.stack(rows_us)[best_row, best_col]  # (N, 2)
         idx_sel = jnp.stack(rows_idx)[best_row, best_col]
@@ -94,8 +103,17 @@ def simulate_nlmpc_run(params: LmpcParams, limits: SystemLimits,
         # fall back to the chosen point when it is the lap's last state
         nxt = jnp.clip(idx_sel + 1, 0, ss.lap_len[lap_sel] - 1)
         new_guess = ss.states[lap_sel, nxt]
-        # warm start: shift the chosen solution, repeat its last input
-        u_warm_new = jnp.concatenate([us_sel[1:], us_sel[-1:]], axis=0)
+        # faithful warm-start shift (base.py:630-639): append the CHOSEN
+        # point's STORED input when a successor exists, else repeat the last
+        # predicted input (the shrink branch — represented exactly only in
+        # the SoA simulator, batched_nlmpc_soa._advance_tail)
+        succ = (idx_sel + 1) <= (ss.lap_len[lap_sel] - 1)
+        u_app = ss.inputs[lap_sel, idx_sel]  # (2,)
+        u_last = jnp.where(succ, u_app, us_sel[-1])
+        u_warm_new = jnp.concatenate([us_sel[1:], u_last[None]], axis=0)
+        # all-infeasible: freeze guess/warm advances (base.py:605-611)
+        new_guess = jnp.where(feasible_any, new_guess, x_term_guess)
+        u_warm_new = jnp.where(feasible_any, u_warm_new, u_warm)
         return us_sel[0], feasible_any, new_guess, u_warm_new
 
     def run_lap(ss, key, x_term_guess0, u_warm0):

@@ -6,50 +6,46 @@ parity map against /root/reference/iterative_ilqr/utils/base.py:514-655 and
 control/nonlinear_lmpc.py:6-214), but the scenario batch B is an explicit
 TRAILING axis of every tensor instead of a vmapped leading axis, and every
 candidate NLP is solved by ops/lm_shooting_soa.py (batch-trailing scalarized
-LM shooting) instead of vmapped jacfwd + LU. The layout rationale is the same
+LM shooting) or its fused Pallas kernels. The layout rationale is the same
 as control/batched_soa.py: the batch must ride the TPU lane dimension.
 
-Batch-relevant semantics (as in the AoS version):
-- spaceVarying safe-set option: L1-kNN around the per-lane terminal guess
-  (base.py:548-555).
-- candidate cost N + Qfun if feasible else Inf (nonlinear_lmpc.py:197),
-  lexicographic selection across safe-set iterations (base.py:605).
-- terminal-guess advance to the successor safe-set point + warm-start shift
-  (base.py:619-639); an all-infeasible step holds the previous input.
-- no horizon shrink (base.py:640-654): laps end by goal proximity, which
-  fires before a shrink would (validated against the host controller).
-- all B scenarios run in lockstep with done-freezing, lap counting global.
+EXACT reference semantics on every route (since round 4 — the former fast
+path's two ±1-step shortcuts are retired):
+- candidate cost = current_horizon + Qfun if feasible else Inf
+  (nonlinear_lmpc.py:197), lexicographic selection across safe-set lap rows
+  (base.py:605) with ragged Python-list comparison semantics (absent slots
+  rank -inf in a comparison-only tensor);
+- warm start = shifted winner solution with the CHOSEN point's STORED input
+  appended at slot horizon-1 when a successor exists (base.py:630-639);
+- PER-LANE SHRINKING HORIZONS: selecting a lap's final point decrements the
+  lane's horizon (base.py:640-654) — the host controller does this ~5 times
+  at the END OF EVERY LAP, so it is core behavior, not a corner case. The
+  horizon-m NLP is solved exactly at the traced full horizon via the
+  ``m_lanes`` row/column masking of ops/lm_shooting_soa.py (bitwise equal
+  to a reduced-horizon solve; same masking in the Pallas kernels via
+  ops/_pallas_nlmpc_core ``mm``), with the horizon-1 pure reach check of
+  nonlinear_lmpc.py:199-213 at the floor;
+- an all-infeasible step freezes guess/warm/horizon advances and holds the
+  previous input (the reference raises before any bookkeeping,
+  base.py:605-611).
+Validated EXACT against the host controller at f64 zero-noise for every
+safe-set mode (tests/test_batched_nlmpc_soa.py).
 
-All three reference safe-set options are supported (base.py:569-571 selection
-dispatch), resolved statically from the params struct:
-- ``ss_option="spaceVarying"`` (default, the fast path above),
-- ``ss_option="timeVarying"`` — advancing per-lap index windows
+All three reference safe-set options are supported (base.py:569-571
+selection dispatch), resolved statically from the params struct:
+- ``ss_option="spaceVarying"`` (default): L1-kNN around the per-lane
+  terminal guess (base.py:548-555);
+- ``ss_option="timeVarying"``: advancing per-lap index windows
   (base.py:537-546): window base = lap_cost - min_cost + N at lap start
   (base.py:679-690), advanced one index per control step, validity
   0 < idx < lap_len, falling back to the lap's last point when the window
   passes the end;
-- ``all_ss_point=True`` — every stored point of each lap is a candidate
+- ``all_ss_point=True``: every stored point of each lap is a candidate
   (base.py:569-571); ``all_ss_iter=True`` widens the lap window to every
   stored lap (base.py:564-567).
 
-The timeVarying/all modes routinely select a lap's FINAL point, which in the
-reference triggers the shrinking-horizon branch (base.py:640-654: warm-start
-reassembly without successor append + num_horizon-1 re-solves). These modes
-therefore carry a per-lane effective horizon, solved exactly via the
-``m_lanes`` row/column masking of ops/lm_shooting_soa.py (bitwise equal to a
-reduced-horizon solve), with the horizon-1 pure reach check of
-nonlinear_lmpc.py:199-213 applied at the floor. They are also exactly
-faithful on two points where the validated spaceVarying fast path keeps a
-documented behavior-neutral shortcut: the warm start appends the STORED
-input of the chosen point (base.py:630-639) instead of repeating the last
-predicted input, and guess/warm-start/horizon advances freeze on an
-all-infeasible step (the host controller raises before any bookkeeping).
-Candidate-row comparison uses ragged Python-list semantics: the reference's
-per-lap cost lists are ragged (a window may have fewer than k valid points),
-and Python's list ``min`` ranks a list that is a strict prefix of another
-BELOW it — emulated here by padding absent tail slots with -inf in a
-comparison-only tensor (real costs keep +inf so within-row argmin and the
-all-infeasible test are unchanged).
+Batch semantics: all B scenarios run in lockstep with done-freezing; lap
+counting is global; plant noise is iid per lane per step.
 """
 
 from __future__ import annotations
@@ -61,8 +57,7 @@ import jax
 import jax.numpy as jnp
 
 from ilqr_iterative_tasks_tpu.control.batched_soa import (
-    SoaScenarios, _lex_argmin_rows, _stable_partition, _step_solver_inputs,
-    _topk_select)
+    SoaScenarios, _lex_argmin_rows, _step_solver_inputs, _topk_select)
 from ilqr_iterative_tasks_tpu.ops.ilqr_soa import step_soa
 from ilqr_iterative_tasks_tpu.ops.lm_shooting_soa import (
     lm_feasibility_solve_soa)
@@ -83,7 +78,7 @@ class NlmpcSoaRunResult(NamedTuple):
 @partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
                                    "goal_append", "sim_step_budget",
                                    "max_lm_iters", "pallas_solver",
-                                   "pallas_step_solver", "faithful"))
+                                   "pallas_step_solver"))
 def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             scenarios: SoaScenarios, seed_xs, seed_us,
                             seed_len, dt, key, *, num_laps: int,
@@ -93,15 +88,21 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             max_lm_iters: int = 60,
                             pallas_solver=None,
                             pallas_step_solver=None,
-                            faithful: bool = False,
                             resume_from=None) -> NlmpcSoaRunResult:
     """Seed + ``num_laps`` NLMPC learning laps for B scenarios, batch-trailing.
 
     seed_xs: (max_steps, 4) shared seed lap (padded); seed_us: (max_steps, 2);
-    seed_len: scalar count of seed states. ``pallas_solver``: optional fused
-    kernel from ops.pallas_lm_shooting.build_fused_lm_shooting (build with the
-    SAME limits/dt/horizon and matching max_iters); k*B must be a multiple of
-    its tile size. Static arg: a new factory function triggers a retrace.
+    seed_len: scalar count of seed states.
+
+    ``pallas_solver``: optional per-candidate fused kernel from
+    ops.pallas_lm_shooting.build_fused_lm_shooting — MUST be built with
+    ``with_skip=True, with_hzn=True`` and the same limits/dt/horizon and
+    matching max_iters; it replaces the XLA candidate solves (phase 1) and
+    the winner re-solve (phase 2), so big_k*B and B must be multiples of
+    its tile. ``pallas_step_solver``: the whole-control-step fused kernel
+    (ops.pallas_nlmpc_step.build_fused_nlmpc_step), which subsumes kNN,
+    solves, selection and the guess advance per lane. Static args: a new
+    factory function triggers a retrace.
     """
     n = params.num_horizon
     k = params.num_ss_points
@@ -118,29 +119,29 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
     mode = "all" if all_point else str(params.ss_option)
     if mode not in ("all", "timeVarying", "spaceVarying"):
         raise ValueError(f"unknown ss_option {mode!r}")
-    # ``faithful``: route plain spaceVarying through the exactly-faithful
-    # general path too (stored-input warm append + infeasible-step freeze +
-    # shrink) instead of the fast path's documented ±1-step shortcuts —
-    # measured: host [32, 23, 23] laps, faithful path identical, fast path
-    # [33, 23, 23] (tests/test_batched_nlmpc_soa.py).
-    general = (mode != "spaceVarying") or all_iter or faithful
-    if general and (pallas_solver is not None
-                    or pallas_step_solver is not None):
-        raise ValueError(
-            "the fused Pallas kernels support the default spaceVarying "
-            f"candidate regime only; ss mode ({mode}, all_ss_iter="
-            f"{all_iter}) requires the XLA SoA backend (pass no solver)")
     if pallas_solver is not None:
         built = getattr(pallas_solver, "max_iters", max_lm_iters)
         if built != max_lm_iters:
             raise ValueError(
                 f"pallas_solver was built with max_iters={built}; the "
                 f"simulator's lockstep cap is max_lm_iters={max_lm_iters}")
+        if not (getattr(pallas_solver, "with_skip", False)
+                and getattr(pallas_solver, "with_hzn", False)):
+            raise ValueError(
+                "pallas_solver must be built with with_skip=True and "
+                "with_hzn=True (per-lane shrinking horizons are core "
+                "reference behavior, base.py:640-654)")
     if pallas_step_solver is not None:
         if pallas_solver is not None:
             raise ValueError("pallas_step_solver replaces pallas_solver — "
                              "pass only one backend")
         s = pallas_step_solver
+        if getattr(s, "mode", "spaceVarying") != mode or (
+                all_iter and not getattr(s, "all_iter", False)):
+            raise ValueError(
+                f"pallas_step_solver was built for mode="
+                f"{getattr(s, 'mode', 'spaceVarying')!r}; the simulator "
+                f"was called with ss mode {mode!r} (all_ss_iter={all_iter})")
         if (s.k != k or s.nsi != nsi or s.num_horizon != n
                 or s.max_steps != max_steps or s.max_laps != max_laps):
             raise ValueError(
@@ -195,140 +196,6 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         ss0, lap0, key = resume_from
         lap0 = jnp.asarray(lap0, jnp.int32)
 
-    use_skip = (pallas_solver is not None
-                and getattr(pallas_solver, "with_skip", False))
-
-    def solve_step(ss, lap_count, x, guess, u_warm, obstacle, inactive=None):
-        """One NLMPC calc_input for all B lanes.
-
-        x, guess: (4, B); u_warm: (N, 2, B). Returns
-        (u (2, B), feasible_any (B,), new_guess (4, B), u_warm_new).
-
-        ``inactive``: (B,) bool — finished lanes whose result the caller
-        discards. With a ``with_skip`` fused kernel, actives are stably
-        compacted to the batch front and inactive lanes enter the kernel
-        pre-done, so whole tiles past the active count exit at iteration
-        zero (bitwise-neutral for active lanes — see batched_soa.solve_step).
-        """
-        states, inputs, qfun, valid, lap_len = ss
-        if pallas_step_solver is not None:
-            # fused whole-step kernel (ops/pallas_nlmpc_step.py): kNN on the
-            # terminal guess, nsi*k LM feasibility solves, lexicographic
-            # selection and the successor-guess advance all in-kernel.
-            from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
-                obstacle_to_lanes_nlmpc)
-            obs_l = obstacle_to_lanes_nlmpc(obstacle, b)
-            lap_ids, lap_ok, skip = _step_solver_inputs(
-                lap_count, nsi, max_laps, inactive, b)
-            us_sel, feas_f, new_guess = pallas_step_solver(
-                x, guess, u_warm, states, qfun, lap_len, lap_ids, lap_ok,
-                obs_l, skip)
-            u_warm_new = jnp.concatenate([us_sel[1:], us_sel[-1:]], axis=0)
-            return us_sel[0], feas_f > 0.5, new_guess, u_warm_new
-
-        rows_cost, rows_us, rows_idx, rows_lap = [], [], [], []
-        x0b = jnp.broadcast_to(x[:, None, :], (4, k, b))
-        u_warm_kb = jnp.broadcast_to(u_warm[:, :, None, :], (n, 2, k, b))
-        if use_skip and inactive is not None:
-            lane_dst, lane_src, n_act = _stable_partition(inactive)
-            skip_sorted = (jnp.arange(b) >= n_act).astype(jnp.float32)
-            skip_kb = jnp.broadcast_to(skip_sorted[None, :],
-                                       (k, b)).reshape(k * b)
-            x0b_p = jnp.broadcast_to(
-                jnp.take(x, lane_src, axis=-1)[:, None, :], (4, k, b))
-            u_warm_p = jnp.broadcast_to(
-                jnp.take(u_warm, lane_src, axis=-1)[:, :, None, :],
-                (n, 2, k, b))
-        else:
-            lane_dst = lane_src = None
-        for off in range(nsi):
-            lap_id = lap_count - nsi + off
-            lap_ok = lap_id >= 0
-            lap_id_c = jnp.clip(lap_id, 0, max_laps - 1)
-            st = states[lap_id_c]  # (T, 4, B)
-            dist = (jnp.abs(st[:, 0] - guess[0][None])
-                    + jnp.abs(st[:, 1] - guess[1][None])
-                    + jnp.abs(st[:, 2] - guess[2][None])
-                    + jnp.abs(st[:, 3] - guess[3][None]))  # (T, B)
-            dist = jnp.where(valid[lap_id_c], dist, jnp.inf)
-            # kNN + candidate extraction in one gather-free sweep (element
-            # gathers run on the TPU scalar core — see batched_soa); overflow
-            # candidates when k exceeds the stored lap length carry dval=inf
-            idx_kb_sel, dval, (x0s, x1s, x2s, x3s, q_terms) = _topk_select(
-                dist, k, [st[:, 0], st[:, 1], st[:, 2], st[:, 3],
-                          qfun[lap_id_c]])
-            cand_ok = jnp.isfinite(dval)  # (K, B)
-            x_terms = jnp.stack([x0s, x1s, x2s, x3s])  # (4, K, B)
-            if pallas_solver is not None:
-                from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
-                    obstacle_to_lanes_nlmpc)
-                obs_l = obstacle_to_lanes_nlmpc(obstacle, b)  # (7, B)
-                if lane_src is not None:
-                    xt_p = jnp.take(x_terms, lane_src, axis=-1)
-                    obs_p = jnp.take(obs_l, lane_src, axis=-1)
-                    obs_kb_p = jnp.broadcast_to(
-                        obs_p[:, None, :], (7, k, b)).reshape(7, k * b)
-                    us_f, _xl, _te, fe_f = pallas_solver(
-                        x0b_p.reshape(4, k * b), xt_p.reshape(4, k * b),
-                        u_warm_p.reshape(n, 2, k * b), obs_kb_p, skip_kb)
-                    sol_us = jnp.take(us_f.reshape(n, 2, k, b), lane_dst,
-                                      axis=-1)
-                    feasible = jnp.take(fe_f.reshape(k, b), lane_dst,
-                                        axis=-1) > 0.5
-                else:
-                    obs_kb = jnp.broadcast_to(
-                        obs_l[:, None, :], (7, k, b)).reshape(7, k * b)
-                    us_f, _xl, _te, fe_f = pallas_solver(
-                        x0b.reshape(4, k * b), x_terms.reshape(4, k * b),
-                        u_warm_kb.reshape(n, 2, k * b), obs_kb)
-                    sol_us = us_f.reshape(n, 2, k, b)
-                    feasible = fe_f.reshape(k, b) > 0.5
-            else:
-                sol = lm_feasibility_solve_soa(
-                    limits, obstacle, x0b, x_terms, u_warm_kb, dt,
-                    num_horizon=n, max_iters=max_lm_iters)
-                sol_us = sol.us
-                feasible = sol.feasible
-            cost = jnp.where(feasible & cand_ok & lap_ok,
-                             float(n) + q_terms, jnp.inf)
-            rows_cost.append(cost)
-            rows_us.append(sol_us)  # (N, 2, K, B)
-            rows_idx.append(idx_kb_sel)  # (K, B)
-            rows_lap.append(jnp.full((b,), lap_id_c, jnp.int32))
-        cost_rows = jnp.stack(rows_cost)  # (L, K, B)
-        best_row = _lex_argmin_rows(cost_rows)  # (B,)
-        row_cost = jnp.take_along_axis(
-            cost_rows, best_row[None, None, :].astype(jnp.int32), axis=0)[0]
-        best_col = jnp.argmin(row_cost, axis=0)  # (B,)
-
-        def pick(stacked):
-            r = jnp.take_along_axis(
-                stacked,
-                best_row.reshape((1,) * (stacked.ndim - 1) + (b,)).astype(
-                    jnp.int32), axis=0)[0]  # (..., K, B)
-            return jnp.take_along_axis(
-                r, best_col.reshape((1,) * (r.ndim - 2) + (1, b)).astype(
-                    jnp.int32), axis=-2)[..., 0, :]
-
-        us_sel = pick(jnp.stack(rows_us))  # (N, 2, B)
-        idx_sel = pick(jnp.stack(rows_idx))  # (B,)
-        lap_sel = jnp.take_along_axis(
-            jnp.stack(rows_lap), best_row[None, :].astype(jnp.int32),
-            axis=0)[0]  # (B,)
-        feasible_any = jnp.isfinite(
-            jnp.take_along_axis(row_cost, best_col[None, :], axis=0)[0])
-        # terminal guess -> successor safe-set point (base.py:621-622)
-        chosen_len = jnp.take_along_axis(lap_len, lap_sel[None, :], axis=0)[0]
-        nxt = jnp.clip(idx_sel + 1, 0, chosen_len - 1)  # (B,)
-        st_sel = jnp.take_along_axis(
-            states, lap_sel[None, None, None, :].astype(jnp.int32),
-            axis=0)[0]  # (T, 4, B)
-        new_guess = jnp.take_along_axis(
-            st_sel, nxt[None, None, :].astype(jnp.int32), axis=0)[0]  # (4, B)
-        # warm start: shift the chosen solution, repeat its last input
-        u_warm_new = jnp.concatenate([us_sel[1:], us_sel[-1:]], axis=0)
-        return us_sel[0], feasible_any, new_guess, u_warm_new
-
     def _lap_window(lap_count, off):
         """(lap_id_c, lap_ok) for safe-set row ``off`` under the lap-window
         mode: last-nsi (base.py:564-567) or every stored lap."""
@@ -339,18 +206,53 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
 
     n_offs = max_laps if all_iter else nsi
 
+    def _advance_tail(us_w, u_app, new_guess0, succ, h1, hzn, feasible_any,
+                      guess, u_warm):
+        """Shared post-selection bookkeeping — reference base.py:619-654 +
+        the all-infeasible freeze (:605-611). Used op-for-op by BOTH the XLA
+        general path and the whole-step-kernel path, so the two stay
+        bitwise-locked on everything outside the solves themselves.
+
+        us_w: (n, 2, B) winner solution at the per-lane horizon m;
+        u_app: (2, B) chosen point's stored input; new_guess0: (4, B)
+        pre-freeze guess advance (successor point when succ, else the
+        horizon-m prediction, xt for h1 lanes)."""
+        u_sel = jnp.where(h1[None, :], u_warm[0], us_w[0])  # (2, B)
+        # warm shift; branch A overwrites slot hzn-1 with the chosen point's
+        # stored input (base.py:630-639). Slots >= hzn are never read at
+        # horizons <= hzn (the horizon never grows within a lap).
+        u_shift = jnp.concatenate([us_w[1:], us_w[-1:]], axis=0)
+        pos = jnp.clip(hzn - 1, 0, n - 1)
+        oh_pos = (jnp.arange(n, dtype=jnp.int32)[:, None]
+                  == pos[None, :])  # (N, B)
+        u_warm_a = jnp.where(oh_pos[:, None, :], u_app[None], u_shift)
+        u_warm_new = jnp.where(succ[None, None, :], u_warm_a, u_shift)
+        # horizon-1 floor without successor: the host keeps the warm vector
+        # (the reference would decrement into an unrepresentable horizon-0
+        # NLP — see control/nlmpc.py:216-224)
+        u_warm_new = jnp.where((h1 & ~succ)[None, None, :], u_warm,
+                               u_warm_new)
+        hzn_next = jnp.where(succ, hzn, jnp.maximum(hzn - 1, 1))
+        # all-infeasible: the host raises before any bookkeeping — freeze
+        # every advance (the plant-side input hold lives in step_body)
+        new_guess = jnp.where(feasible_any[None, :], new_guess0, guess)
+        u_warm_new = jnp.where(feasible_any[None, None, :], u_warm_new,
+                               u_warm)
+        hzn_next = jnp.where(feasible_any, hzn_next, hzn)
+        return u_sel, new_guess, u_warm_new, hzn_next
+
     def solve_step_general(ss, lap_count, x, guess, u_warm, t, hzn,
-                           obstacle):
-        """One NLMPC calc_input under the timeVarying / all / all_ss_iter
-        regimes, with per-lane shrinking horizons. Returns
+                           obstacle, inactive=None):
+        """One NLMPC calc_input for all B lanes (any safe-set mode), with
+        per-lane shrinking horizons. Returns
         (u (2,B), feasible_any (B,), new_guess (4,B), u_warm_new (n,2,B),
         hzn_next (B,)).
 
-        Exactly faithful to the host controller (see module docstring):
-        stored-input warm-start append, horizon shrink on final-point
-        selection (base.py:640-654), horizon-1 reach check
-        (nonlinear_lmpc.py:199-213), ragged-list lexicographic comparison,
-        and advance-freeze on all-infeasible steps.
+        Exactly faithful to the host controller (see module docstring).
+        Candidate solves run on XLA (lm_feasibility_solve_soa) or, when
+        ``pallas_solver`` is given, on the fused per-candidate kernel
+        (with_skip+with_hzn). ``inactive`` lanes (done) enter the kernel
+        pre-done; their outputs are discarded by the caller's done-masking.
         """
         states, inputs, qfun, valid, lap_len = ss
         m2 = jnp.clip(hzn, 2, n)  # solver horizon (h==1 lanes use the
@@ -364,8 +266,20 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         min_cost = jnp.min(jnp.where(slot_ids[:, None] < lap_count,
                                      lap_len - 1, 1 << 30), axis=0)  # (B,)
         big_k = max_steps if mode == "all" else k
+        if pallas_solver is not None:
+            from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
+                obstacle_to_lanes_nlmpc)
+            obs_l = obstacle_to_lanes_nlmpc(obstacle, b)  # (7, B)
+            obs_kb = jnp.broadcast_to(
+                obs_l[:, None, :], (7, big_k, b)).reshape(7, big_k * b)
+            skip_b = (inactive.astype(jnp.float32) if inactive is not None
+                      else jnp.zeros((b,), jnp.float32))
+            skip_kb = jnp.broadcast_to(skip_b[None, :],
+                                       (big_k, b)).reshape(big_k * b)
+            hzn_kb = jnp.broadcast_to(m2[None, :],
+                                      (big_k, b)).reshape(big_k * b)
 
-        rows_cost, rows_cmp, rows_idx, rows_lap = [], [], [], []
+        rows_cost, rows_cmp, rows_idx = [], [], []
         for off in range(n_offs):
             lap_id_c, lap_ok = _lap_window(lap_count, off)
             st = states[lap_id_c]   # (T, 4, B)
@@ -410,7 +324,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                 struct = jnp.stack(ok_js)  # (K, B)
                 x_terms = jnp.stack(xs_l, axis=1)  # (4, K, B)
                 q_terms = jnp.stack(qs_l)  # (K, B)
-            else:  # spaceVarying lap window with all_ss_iter
+            else:  # spaceVarying kNN (base.py:548-555)
                 dist = (jnp.abs(st[:, 0] - guess[0][None])
                         + jnp.abs(st[:, 1] - guess[1][None])
                         + jnp.abs(st[:, 2] - guess[2][None])
@@ -429,24 +343,36 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             x0b = jnp.broadcast_to(x[:, None, :], (4, big_k, b))
             u_b = jnp.broadcast_to(u_warm[:, :, None, :], (n, 2, big_k, b))
             m_b = jnp.broadcast_to(m2[None, :], (big_k, b))
-            sol = lm_feasibility_solve_soa(
-                limits, obstacle, x0b, x_terms, u_b, dt, num_horizon=n,
-                max_iters=max_lm_iters, m_lanes=m_b)
+            if pallas_solver is not None:
+                _us, _xl, _te, fe_f = pallas_solver(
+                    x0b.reshape(4, big_k * b), x_terms.reshape(4, big_k * b),
+                    u_b.reshape(n, 2, big_k * b), obs_kb, skip_kb, hzn_kb)
+                feasible = fe_f.reshape(big_k, b) > 0.5
+            else:
+                sol = lm_feasibility_solve_soa(
+                    limits, obstacle, x0b, x_terms, u_b, dt, num_horizon=n,
+                    max_iters=max_lm_iters, m_lanes=m_b)
+                feasible = sol.feasible
             reach = jnp.sqrt(sum((x1[i][None, :] - x_terms[i]) ** 2
                                  for i in range(4))) <= 1e-3  # (K, B)
-            feas = jnp.where(h1[None, :], reach, sol.feasible)
+            feas = jnp.where(h1[None, :], reach, feasible)
             cost = jnp.where(feas & struct & lap_ok,
                              m_f[None, :] + q_terms, jnp.inf)
             # ragged Python-list comparison: absent tail slots rank BELOW
             # any present value (a strict-prefix list is the smaller one);
-            # rows of non-existent laps rank above everything
+            # rows of non-existent laps rank above everything.
+            # INVARIANT: this -inf padding is equivalent to Python list
+            # comparison only because invalid slots are a per-lane SUFFIX of
+            # each row — timeVarying starts at lap_cost - min_cost + N + t
+            # >= N > 0 and invalidates only past the lap end; kNN/all modes
+            # fill valid slots first. A mode with a leading or interior
+            # invalid slot would rank its row below all others and silently
+            # diverge; assert prefix-validity before reusing this emulation.
             cmp = jnp.where(lap_ok,
                             jnp.where(struct, cost, -jnp.inf), jnp.inf)
             rows_cost.append(cost)
             rows_cmp.append(cmp)
             rows_idx.append(idx_kb)
-            rows_lap.append(jnp.broadcast_to(lap_id_c, (b,)).astype(
-                jnp.int32))
 
         cmp_rows = jnp.stack(rows_cmp)  # (L, K, B)
         best_row = _lex_argmin_rows(cmp_rows)  # (B,)
@@ -467,9 +393,6 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                     jnp.int32), axis=-2)[..., 0, :]
 
         idx_sel = pick(jnp.stack(rows_idx))  # (B,) i32
-        lap_sel = jnp.take_along_axis(
-            jnp.stack(rows_lap), best_row[None, :].astype(jnp.int32),
-            axis=0)[0]  # (B,)
 
         # winner terminal state, its stored input (base.py:630-639), the
         # successor point (base.py:621-622), and the chosen lap's length —
@@ -504,46 +427,76 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         # phase 2: one re-solve of the per-lane winner (pure function of
         # (x, winner terminal, warm start, m) — identical to its phase-1
         # solve; per-lane done-masking makes iterates lockstep-invariant)
-        sol_w = lm_feasibility_solve_soa(
-            limits, obstacle, x, jnp.stack(xt_w), u_warm, dt, num_horizon=n,
-            max_iters=max_lm_iters, m_lanes=m2)
-        us_w = sol_w.us  # (n, 2, B)
-        x_pred_m = [sol_w.xs[n, i] for i in range(4)]
-        for kk in range(2, n):
-            for i in range(4):
-                x_pred_m[i] = jnp.where(m2 == kk, sol_w.xs[kk, i],
-                                        x_pred_m[i])
+        if pallas_solver is not None:
+            us_w, xl_w, _te_w, _fe_w = pallas_solver(
+                x, jnp.stack(xt_w), u_warm, obs_l,
+                skip_b, m2)
+            x_pred_m = [xl_w[i] for i in range(4)]
+        else:
+            sol_w = lm_feasibility_solve_soa(
+                limits, obstacle, x, jnp.stack(xt_w), u_warm, dt,
+                num_horizon=n, max_iters=max_lm_iters, m_lanes=m2)
+            us_w = sol_w.us  # (n, 2, B)
+            x_pred_m = [sol_w.xs[n, i] for i in range(4)]
+            for kk in range(2, n):
+                for i in range(4):
+                    x_pred_m[i] = jnp.where(m2 == kk, sol_w.xs[kk, i],
+                                            x_pred_m[i])
         # horizon-1 lanes: input = first warm entry, prediction = [x, xt]
         # (nonlinear_lmpc.py:199-213)
         x_pred_m = [jnp.where(h1, xt_w[i], x_pred_m[i]) for i in range(4)]
-        u_sel = jnp.where(h1[None, :], u_warm[0], us_w[0])  # (2, B)
 
         succ = (idx_sel + 1) <= (len_sel - 1)
-        # warm shift; branch A overwrites slot hzn-1 with the chosen point's
-        # stored input (base.py:630-639). Slots >= hzn are never read at
-        # horizons <= hzn (the horizon never grows within a lap).
-        u_shift = jnp.concatenate([us_w[1:], us_w[-1:]], axis=0)
-        pos = jnp.clip(hzn - 1, 0, n - 1)
-        oh_pos = (jnp.arange(n, dtype=jnp.int32)[:, None]
-                  == pos[None, :])  # (N, B)
-        u_warm_a = jnp.where(oh_pos[:, None, :],
-                             jnp.stack(u_app)[None], u_shift)
-        u_warm_new = jnp.where(succ[None, None, :], u_warm_a, u_shift)
-        # horizon-1 floor without successor: the host keeps the warm vector
-        # (the reference would decrement into an unrepresentable horizon-0
-        # NLP — see control/nlmpc.py:216-224)
-        u_warm_new = jnp.where((h1 & ~succ)[None, None, :], u_warm,
-                               u_warm_new)
-        new_guess = jnp.where(succ[None, :], jnp.stack(x_succ),
-                              jnp.stack(x_pred_m))
-        hzn_next = jnp.where(succ, hzn, jnp.maximum(hzn - 1, 1))
-        # all-infeasible: the host raises before any bookkeeping — freeze
-        # every advance (the plant-side input hold lives in step_body)
-        new_guess = jnp.where(feasible_any[None, :], new_guess, guess)
-        u_warm_new = jnp.where(feasible_any[None, None, :], u_warm_new,
-                               u_warm)
-        hzn_next = jnp.where(feasible_any, hzn_next, hzn)
+        new_guess0 = jnp.where(succ[None, :], jnp.stack(x_succ),
+                               jnp.stack(x_pred_m))
+        u_sel, new_guess, u_warm_new, hzn_next = _advance_tail(
+            us_w, jnp.stack(u_app), new_guess0, succ, h1, hzn, feasible_any,
+            guess, u_warm)
         return u_sel, feasible_any, new_guess, u_warm_new, hzn_next
+
+    def solve_step_kernel(ss, lap_count, x, guess, u_warm, t, hzn, obstacle,
+                          inactive=None):
+        """Whole-step fused kernel route (ops/pallas_nlmpc_step.py):
+        candidate enumeration (kNN or timeVarying window), m-masked
+        candidate solves, h1 reach check, lexicographic selection and the
+        pre-freeze guess advance all happen in-kernel; the winner identity
+        comes back so this caller composes the EXACT bookkeeping via the
+        same ``_advance_tail`` as the general path."""
+        states, inputs, qfun, valid, lap_len = ss
+        from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
+            obstacle_to_lanes_nlmpc)
+        obs_l = obstacle_to_lanes_nlmpc(obstacle, b)
+        lap_ids, lap_ok, skip = _step_solver_inputs(
+            lap_count, nsi, max_laps, inactive, b)
+        extra = {}
+        if mode == "timeVarying":
+            slot_ids = jnp.arange(max_laps)
+            min_cost = jnp.min(jnp.where(slot_ids[:, None] < lap_count,
+                                         lap_len - 1, 1 << 30), axis=0)
+            extra = dict(t=t, min_cost=min_cost)
+        (us_w, feas_f, new_guess0, idx_sel, row_sel,
+         succ_f) = pallas_step_solver(
+            x, guess, u_warm, states, qfun, lap_len, lap_ids, lap_ok,
+            obs_l, skip, hzn, **extra)
+        feas = feas_f > 0.5
+        succ = succ_f > 0.5
+        h1 = hzn <= 1
+        # chosen point's stored input, one-hot row extraction per lap row
+        # (identical math to the general path's u_app loop)
+        oh_w = t_idx[:, None] == jnp.clip(idx_sel, 0, max_steps - 1)[None, :]
+        u_app = [jnp.zeros((b,), dtype) for _ in range(2)]
+        for off in range(nsi):
+            inp = inputs[lap_ids[off]]  # (T, 2, B)
+            sel_off = row_sel == off
+            for c in range(2):
+                u_app[c] = jnp.where(
+                    sel_off,
+                    jnp.sum(jnp.where(oh_w, inp[:, c], 0.0), axis=0),
+                    u_app[c])
+        u_sel, new_guess, u_warm_new, hzn_next = _advance_tail(
+            us_w, jnp.stack(u_app), new_guess0, succ, h1, hzn, feas,
+            guess, u_warm)
+        return u_sel, feas, new_guess, u_warm_new, hzn_next
 
     def run_lap(ss, lap_count, guess0, u_warm0, key):
         def step_cond(c):
@@ -553,14 +506,16 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         def step_body(c):
             (x, t, done, obstacle, guess, u_warm, hzn, u_prev, xs_rec,
              us_rec, key) = c
-            if general:
+            if pallas_step_solver is not None:
+                (u_solve, feas, guess_new, u_warm_new,
+                 hzn_new) = solve_step_kernel(ss, lap_count, x, guess,
+                                              u_warm, t, hzn, obstacle,
+                                              inactive=done)
+            else:
                 (u_solve, feas, guess_new, u_warm_new,
                  hzn_new) = solve_step_general(ss, lap_count, x, guess,
-                                               u_warm, t, hzn, obstacle)
-            else:
-                u_solve, feas, guess_new, u_warm_new = solve_step(
-                    ss, lap_count, x, guess, u_warm, obstacle, inactive=done)
-                hzn_new = hzn
+                                               u_warm, t, hzn, obstacle,
+                                               inactive=done)
             u = jnp.where(feas[None, :], u_solve, u_prev)
             x_next = jnp.stack(step_soa(tuple(x[i] for i in range(4)),
                                         (u[0], u[1]), dt))

@@ -141,7 +141,8 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
             build_fused_lm_shooting)
         kw["pallas_solver"] = build_fused_lm_shooting(
             limits, 1.0, num_horizon=params.num_horizon,
-            max_iters=max_lm_iters, tile_rows=tile_rows)
+            max_iters=max_lm_iters, tile_rows=tile_rows,
+            with_skip=True, with_hzn=True)
         backend = "pallas"
     t0 = time.time()
     out = simulate_nlmpc_runs_soa(params, limits, scenarios, seed_xs, seed_us,

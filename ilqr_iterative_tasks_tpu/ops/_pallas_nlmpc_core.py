@@ -36,8 +36,19 @@ def bake_nlmpc_consts(limits, dt, *, w_obs: float = 10.0,
     )
 
 
-def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp):
-    """LM-shooting tile functions for horizon ``n`` on ``shp`` arrays."""
+def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp, mm=None):
+    """LM-shooting tile functions for horizon ``n`` on ``shp`` arrays.
+
+    ``mm``: optional per-lane EFFECTIVE horizon ((shp) i32, values in
+    [2, n]) — the shrinking-horizon branch of the LMPC bookkeeping
+    (base.py:640-654). Mirrors ops/lm_shooting_soa.py ``m_lanes`` exactly:
+    terminal residual rows read x_m instead of x_n, obstacle rows k >= m
+    and Jacobian columns j >= m are zeroed, and the final feasibility
+    verdict tests term_err at x_m with constraint rows k >= m absent.
+    Zeroed rows/columns decouple exactly in the damped normal equations,
+    so per lane this IS the reduced horizon-m LM iteration. ``mm=None``
+    keeps the original full-horizon trace untouched.
+    """
     if n < 2:
         raise ValueError("horizon-1 is a pure reach check handled by the "
                          "controller (nonlinear_lmpc.py:199-213)")
@@ -46,6 +57,13 @@ def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp):
     dtf = C.dtf
     a_max, d_max = C.a_max, C.d_max
     sqrt_w, margin = C.sqrt_w, C.margin
+
+    def _at_m(lst):
+        """Per-lane lst[m] for m in [2, n] (lst indexed 0..n)."""
+        v = lst[n]
+        for kk in range(2, n):
+            v = jnp.where(mm == kk, lst[kk], v)
+        return v
 
     def clip_a(z):
         return jnp.clip(z, -a_max, a_max)
@@ -82,12 +100,20 @@ def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp):
         xs = [x0c]
         for j in range(n):
             xs.append(step(xs[-1], us[j][0], us[j][1]))
-        rows = [xs[n][i] - xt[i] for i in range(4)]
+        if mm is None:
+            rows = [xs[n][i] - xt[i] for i in range(4)]
+        else:
+            # terminal rows read the per-lane effective horizon state x_m
+            rows = [_at_m([xs[kk][i] for kk in range(n + 1)]) - xt[i]
+                    for i in range(4)]
         for k in range(1, n):
             cx, cy = center_at(obs, k)
             g = 1.0 - ((xs[k][0] - cx) ** 2 * inv_w2
                        + (xs[k][1] - cy) ** 2 * inv_h2)
-            rows.append(sqrt_w * present * jnp.maximum(g + margin, 0.0))
+            r = sqrt_w * present * jnp.maximum(g + margin, 0.0)
+            if mm is not None:
+                r = jnp.where(k < mm, r, 0.0)  # row absent below horizon m
+            rows.append(r)
         f = rows[0] * rows[0]
         for r in rows[1:]:
             f = f + r * r
@@ -115,6 +141,11 @@ def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp):
         b10 = [0.5 * dtf * dtf * sin_t[j] for j in range(n)]
         mask_a = [clip_grad(uf[2 * j], a_max) for j in range(n)]
         mask_d = [clip_grad(uf[2 * j + 1], d_max) for j in range(n)]
+        if mm is not None:
+            # columns j >= m are not decision variables of the horizon-m NLP
+            mask_a = [jnp.where(j < mm, mask_a[j], 0.0) for j in range(n)]
+            mask_d = [jnp.where(j < mm, mask_d[j], 0.0) for j in range(n)]
+            cum_m = [_at_m(c) for c in (cum0, cum1, cum2, cum3)]
 
         def sens(k, j):
             return (b00[j] + cum0[k] - cum0[j + 1],
@@ -122,10 +153,18 @@ def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp):
                     b10[j] + cum2[k] - cum2[j + 1],
                     cum3[k] - cum3[j + 1])
 
+        def sens_m(j):
+            """Terminal sensitivity at the per-lane horizon m; garbage for
+            j >= m, but those columns carry mask 0."""
+            return (b00[j] + cum_m[0] - cum0[j + 1],
+                    cum_m[1] - cum1[j + 1],
+                    b10[j] + cum_m[2] - cum2[j + 1],
+                    cum_m[3] - cum3[j + 1])
+
         jac = []
         row_px, row_py, row_v, row_th = [], [], [], []
         for j in range(n):
-            sa0, sd0, sa1, sd1 = sens(n, j)
+            sa0, sd0, sa1, sd1 = sens(n, j) if mm is None else sens_m(j)
             row_px += [sa0 * mask_a[j], sd0 * mask_d[j]]
             row_py += [sa1 * mask_a[j], sd1 * mask_d[j]]
             row_v += [dtf * mask_a[j], 0.0]
@@ -136,6 +175,8 @@ def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp):
             g = 1.0 - ((xs[k][0] - cx) ** 2 * inv_w2
                        + (xs[k][1] - cy) ** 2 * inv_h2)
             gate = sqrt_w * present * relu_grad(g + margin)
+            if mm is not None:
+                gate = jnp.where(k < mm, gate, 0.0)
             gx = gate * (-2.0) * inv_w2 * (xs[k][0] - cx)
             gy = gate * (-2.0) * inv_h2 * (xs[k][1] - cy)
             row = []
@@ -283,13 +324,21 @@ def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp):
         xs = [x0c]
         for j in range(n):
             xs.append(step(xs[-1], us[j][0], us[j][1]))
-        d2 = sum((xs[n][i] - xt[i]) ** 2 for i in range(4))
+        if mm is None:
+            x_at = [xs[n][i] for i in range(4)]
+        else:
+            x_at = [_at_m([xs[kk][i] for kk in range(n + 1)])
+                    for i in range(4)]
+        d2 = sum((x_at[i] - xt[i]) ** 2 for i in range(4))
         term_err = jnp.sqrt(jnp.maximum(d2, 0.0))
         viol = None
         for k in range(1, n):
             cx, cy = center_at(obs, k)
             g = present * (1.0 - ((xs[k][0] - cx) ** 2 * inv_w2
                                   + (xs[k][1] - cy) ** 2 * inv_h2))
+            if mm is not None:
+                # constraint rows k >= m do not exist in the horizon-m NLP
+                g = jnp.where(k < mm, g, -jnp.inf)
             viol = g if viol is None else jnp.maximum(viol, g)
         feasible = ((term_err <= C.term_tol) & (viol <= C.viol_tol)).astype(
             jnp.float32)
@@ -297,4 +346,5 @@ def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp):
 
     return SimpleNamespace(clip_a=clip_a, clip_d=clip_d, step=step,
                            residual=residual, solve_from=solve_from,
-                           feasibility_solve=feasibility_solve)
+                           feasibility_solve=feasibility_solve,
+                           at_m=(None if mm is None else _at_m))

@@ -63,19 +63,28 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
                             viol_tol: float = 1e-4,
                             tile_rows: int = TILE_ROWS,
                             interpret: bool = False,
-                            with_skip: bool = False):
+                            with_skip: bool = False,
+                            with_hzn: bool = False):
     """Factory: returns fn(x0 (4,B), x_term (4,B), u_warm (N,2,B), obs (7,B))
     -> (us (N,2,B), x_last (4,B), term_err (B,), feasible (B,) f32).
 
     B must be a multiple of tile_rows*128 (pad the candidate batch).
 
-    with_skip=True adds a 5th input ``skip`` (B,) f32 0/1: lanes with skip=1
+    with_skip=True adds an input ``skip`` (B,) f32 0/1: lanes with skip=1
     execute zero LM iterations in BOTH multi-starts (outputs are the clipped
     warm-start rollout — callers discard them). The per-tile lockstep loop
     exits when all lanes are done, so callers should compact skipped lanes
     to the batch tail (control/batched_nlmpc_soa.py does). Per-lane results
     are tile-membership invariant (done lanes freeze their u/lam), so the
     compaction is bitwise-neutral for fresh lanes.
+
+    with_hzn=True adds an input ``hzn`` (B,) i32: the per-lane EFFECTIVE
+    horizon of the LMPC shrinking-horizon branch (base.py:640-654), clipped
+    in-kernel to [2, N] and applied via the exact row/column masking of
+    ops/lm_shooting_soa.py ``m_lanes`` (see _pallas_nlmpc_core). The
+    ``x_last`` output then reports the per-lane horizon-m state x_m, and
+    ``term_err``/``feasible`` are judged at x_m with constraint rows
+    k >= m absent.
     """
     n = num_horizon
     if n < 2:
@@ -86,13 +95,14 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
                                term_tol=term_tol, viol_tol=viol_tol)
 
     def kernel(x0_ref, xt_ref, uw_ref, obs_ref, *rest):
-        if with_skip:
-            skip_ref, us_ref, xl_ref, te_ref, fe_ref = rest
-        else:
-            skip_ref = None
-            us_ref, xl_ref, te_ref, fe_ref = rest
+        it = iter(rest)
+        skip_ref = next(it) if with_skip else None
+        hzn_ref = next(it) if with_hzn else None
+        us_ref, xl_ref, te_ref, fe_ref = it
         shp = (tile_rows, 128)
-        F = make_nlmpc_tile_funcs(consts, n, shp)
+        mm = (jnp.clip(hzn_ref[...].reshape(shp), 2, n) if with_hzn
+              else None)
+        F = make_nlmpc_tile_funcs(consts, n, shp, mm=mm)
         x0c = tuple(x0_ref[i].reshape(shp) for i in range(4))
         xt = tuple(xt_ref[i].reshape(shp) for i in range(4))
         obs = tuple(obs_ref[i].reshape(shp) for i in range(7))
@@ -109,11 +119,15 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
             us_ref[j, 0] = us[j][0].reshape(tile)
             us_ref[j, 1] = us[j][1].reshape(tile)
         for i in range(4):
-            xl_ref[i] = xs[n][i].reshape(tile)
+            if with_hzn:
+                xl_ref[i] = F.at_m([xs[kk][i]
+                                    for kk in range(n + 1)]).reshape(tile)
+            else:
+                xl_ref[i] = xs[n][i].reshape(tile)
         te_ref[...] = term_err.reshape(tile)
         fe_ref[...] = feasible.reshape(tile)
 
-    def solve(x0, x_term, u_warm, obs_lanes, skip=None):
+    def solve(x0, x_term, u_warm, obs_lanes, skip=None, hzn=None):
         b = x_term.shape[-1]
         assert b % tile == 0, f"batch {b} must be a multiple of {tile}"
         grid = (b // tile,)
@@ -137,6 +151,15 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
         elif skip is not None:
             raise ValueError("skip passed to a kernel built without "
                              "with_skip=True")
+        if with_hzn:
+            if hzn is None:
+                hzn = jnp.full((b,), n, jnp.int32)
+            in_specs.append(pl.BlockSpec((tile,), lambda i: (i,),
+                                         memory_space=pltpu.VMEM))
+            args.append(hzn.astype(jnp.int32))
+        elif hzn is not None:
+            raise ValueError("hzn passed to a kernel built without "
+                             "with_hzn=True")
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -162,12 +185,13 @@ def build_fused_lm_shooting(limits: SystemLimits, dt: float, *,
 
     solve_jit = jax.jit(solve)
 
-    def solve_api(x0, x_term, u_warm, obs_lanes, skip=None):
-        return solve_jit(x0, x_term, u_warm, obs_lanes, skip)
+    def solve_api(x0, x_term, u_warm, obs_lanes, skip=None, hzn=None):
+        return solve_jit(x0, x_term, u_warm, obs_lanes, skip, hzn)
 
     # callers (control/batched_nlmpc_soa.py) probe this to know the kernel
     # accepts a skip mask — enables inactive-lane compaction transparently
     solve_api.with_skip = with_skip
+    solve_api.with_hzn = with_hzn
     solve_api.tile = tile
     solve_api.max_iters = max_iters
     return solve_api

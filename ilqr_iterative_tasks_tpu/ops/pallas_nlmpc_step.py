@@ -7,9 +7,12 @@ NLMPC counterpart of ops/pallas_i2lqr_step.py: one whole calc_input
         L1-kNN of the terminal guess in the stored states (base.py:548-555)
         extract the k candidate terminal states + Qfun
     solve all nsi*k candidates by projected LM shooting   (base.py:583-595)
-    cost N + Qfun if feasible else Inf                    (nonlinear_lmpc.py:197)
+    at the PER-LANE shrinking horizon m (base.py:640-654), judged by the
+    horizon-1 pure reach check when hzn <= 1 (nonlinear_lmpc.py:199-213)
+    cost hzn + Qfun if feasible else Inf                  (nonlinear_lmpc.py:197)
     lexicographic row-min + argmin selection              (base.py:605-611)
-    terminal guess -> successor safe-set point            (base.py:621-622)
+    terminal guess -> successor safe-set point, or the horizon-m
+    prediction when the chosen point is the lap's last    (base.py:619-654)
 
 — fused into a single VMEM-resident kernel per tile of ``tile_rows * 128``
 lanes. Safe-set lap slices stream from HBM via scalar-prefetch block indices;
@@ -18,9 +21,21 @@ inside a fori_loop (per-lane lockstep-invariant, bitwise-neutral vs the
 per-candidate kernel — validated in tests/test_pallas_nlmpc_step.py).
 Skip lanes enter every LM loop pre-done; all-skip tiles bypass the body.
 
-Outputs: the selected input sequence us (n, 2, B) (the caller applies us[0]
-and shifts the rest into the warm start, base.py:619-639), feasible_any
-(B,) f32, and the advanced terminal guess (4, B).
+Per-lane horizons ride as an ``hzn`` (B,) i32 input; the solver applies the
+exact ``m_lanes`` row/column masking of ops/lm_shooting_soa.py (see
+_pallas_nlmpc_core ``mm``), so a shrunk lane gets the reduced horizon-m NLP
+bit-for-bit, not an approximation. The host controller shrinks ~5 times at
+the end of EVERY lap, so this is core behavior.
+
+Outputs: the winner's input sequence us (n, 2, B), feasible_any (B,) f32,
+the pre-freeze guess advance new_guess (4, B) (successor point when one
+exists, else the horizon-m prediction; xt for h1 lanes), and the winner
+identity (idx_sel (B,) i32 safe-set row, row_sel (B,) i32 lap row,
+succ (B,) f32) — from which the caller composes the faithful warm-start
+append (the chosen point's stored input, base.py:630-639), the
+all-infeasible advance freeze (base.py:605-611) and the horizon decrement,
+via the same ``_advance_tail`` as the XLA general path
+(control/batched_nlmpc_soa.py).
 """
 
 from __future__ import annotations
@@ -43,21 +58,33 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                            store_solutions: bool = True,
                            zeros_skip: bool = False,
                            qsort_skip: bool = False,
+                           mode: str = "spaceVarying",
                            interpret: bool = False):
     """Factory: returns
     fn(x (4,B), guess (4,B), u_warm (n,2,B), states (max_laps,T,4,B),
        qfun (max_laps,T,B), lap_len (max_laps,B) i32, lap_ids (nsi,) i32
-       [pre-clipped], lap_ok (nsi,) i32, obs (7,B), skip (B,) f32)
-    -> (us (n,2,B), feasible_any (B,) f32, new_guess (4,B)).
+       [pre-clipped], lap_ok (nsi,) i32, obs (7,B), skip (B,) f32,
+       hzn (B,) i32[, t (B,) i32, min_cost (B,) i32 — timeVarying only])
+    -> (us (n,2,B), feasible_any (B,) f32, new_guess (4,B),
+        idx_sel (B,) i32, row_sel (B,) i32, succ (B,) f32).
 
     B must be a multiple of tile_rows*128.
 
+    ``mode``: candidate enumeration per safe-set lap row —
+    "spaceVarying" = L1-kNN around the terminal guess (base.py:548-555);
+    "timeVarying" = the advancing index window (base.py:537-546): base
+    index = lap_cost - min_cost + N + t, k consecutive entries, validity
+    0 < idx < lap_len (a per-lane suffix — the ragged -inf emulation
+    requires prefix-valid rows), falling back to the lap's last point when
+    no entry is valid. Everything downstream of extraction (m-masked
+    solves, h1 reach check, selection, guess advance) is mode-invariant.
+
     ``store_solutions=False``: candidate solves write only their cost; the
     per-lane WINNER is re-solved once after selection (a pure function of
-    (x0, extracted x_term, clipped warm start) — bitwise the same solution).
-    Saves the nc*2n-lane solution scratch: nsi=2 overflows the 16 MB scoped
-    VMEM by 52 KB with storage, and fits without (the multi-start LM body
-    carries more live state than the iLQR kernel's).
+    (x0, extracted x_term, clipped warm start, m) — bitwise the same
+    solution). Saves the nc*2n-lane solution scratch: nsi=2 overflows the
+    16 MB scoped VMEM by 52 KB with storage, and fits without (the
+    multi-start LM body carries more live state than the iLQR kernel's).
 
     ``zeros_skip``: lanes whose warm-start solve already converged
     (f < 1e-14) skip the zeros multi-start (see
@@ -65,31 +92,33 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     the behavior-level parity envelope (docs/PARITY.md,
     tests/test_behavior_envelope.py).
 
-    ``qsort_skip`` (nsi=1 only): the NLMPC candidate cost n + Qfun is known
-    BEFORE the solve (the solve only gates feasibility, nonlinear_lmpc.py:
-    186-197), so candidates are solved in per-lane Q-ASCENDING order
-    (stable 8-wide rank network on the VPU) with a running-best dominance
-    skip: once any candidate is feasible, every later position has
-    n + q >= best and enters the LM while_loop pre-done — the expected
-    number of real solves per lane drops from k to ~1 + #(infeasible
-    q-prefix). BITWISE-neutral for nsi=1: the selection argmin is first-min
-    over (cost, original slot); the stable rank puts equal-q candidates in
-    original-slot order, so the first feasible position IS the argmin, a
-    skipped position can never beat it (cost >= best with a larger original
-    slot on ties), and when no candidate is feasible every finite-q
-    candidate still solves (skip requires a finite best), reproducing the
-    baseline's slot-0 fallback exactly. The position loop terminates at
-    tile level once every active lane is skipped: the skip predicate is
-    monotone in position (q ascends per lane and a skipped position never
-    lowers the running best), so the remaining tail cannot change any
-    lane's selection and its per-position body overhead is not paid.
-    Validated bit-for-bit in tests/test_pallas_nlmpc_step.py.
+    ``qsort_skip`` (nsi=1 only): the NLMPC candidate cost hzn + Qfun is
+    known BEFORE the solve (the solve only gates feasibility,
+    nonlinear_lmpc.py:186-197), so candidates are solved in per-lane
+    Q-ASCENDING order (stable 8-wide rank network on the VPU) with a
+    running-best dominance skip: once any candidate is feasible, every
+    later position has hzn + q >= best and enters the LM while_loop
+    pre-done — the expected number of real solves per lane drops from k to
+    ~1 + #(infeasible q-prefix). BITWISE-neutral for nsi=1: the selection
+    argmin is first-min over (cost, original slot); the stable rank puts
+    equal-q candidates in original-slot order (hzn is lane-constant, so
+    cost ties iff q ties), so the first feasible position IS the argmin, a
+    skipped position can never beat it, and when no candidate is feasible
+    every finite-q candidate still solves (skip requires a finite best),
+    reproducing the baseline's slot-0 fallback exactly. The position loop
+    terminates at tile level once every active lane is skipped (the skip
+    predicate is monotone in position). Validated bit-for-bit in
+    tests/test_pallas_nlmpc_step.py.
     """
     tile = tile_rows * 128
     n = num_horizon
     if n < 2:
         raise ValueError("horizon-1 is a pure reach check handled by the "
                          "controller (nonlinear_lmpc.py:199-213)")
+    if mode not in ("spaceVarying", "timeVarying"):
+        raise ValueError(f"unsupported step-kernel mode {mode!r} (the "
+                         "'all' option runs on the XLA general path)")
+    time_varying = mode == "timeVarying"
     k = int(params.num_ss_points)
     nsi = int(params.num_ss_iter)
     if qsort_skip and nsi != 1:
@@ -103,24 +132,36 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     nc = nsi * k
 
     def kernel(s_ref, *refs):
-        st_refs = refs[0:nsi]
-        qf_refs = refs[nsi:2 * nsi]
-        ll_ref = refs[2 * nsi]
-        x_ref, g_ref, uw_ref, obs_ref, skip_ref = refs[2 * nsi + 1:
-                                                       2 * nsi + 6]
-        us_ref, fe_ref, ng_ref = refs[2 * nsi + 6:2 * nsi + 9]
+        it_refs = iter(refs)
+        nxt_ref = lambda: next(it_refs)
+        st_refs = [nxt_ref() for _ in range(nsi)]
+        qf_refs = [nxt_ref() for _ in range(nsi)]
+        ll_ref = nxt_ref()
+        x_ref, g_ref, uw_ref, obs_ref, skip_ref = (
+            nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref())
+        hzn_ref = nxt_ref()
+        if time_varying:
+            t_ref, mc_ref = nxt_ref(), nxt_ref()
+        us_ref, fe_ref, ng_ref, idx_ref, row_ref, succ_ref = (
+            nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref(),
+            nxt_ref())
+        cand_xt, cand_q, cand_ok, cand_idx = (
+            nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref())
         if store_solutions:
-            (cand_xt, cand_q, cand_ok, cand_idx,
-             sol_us, cost_sc) = refs[2 * nsi + 9:]
-        else:
-            (cand_xt, cand_q, cand_ok, cand_idx,
-             cost_sc) = refs[2 * nsi + 9:]
+            sol_us = nxt_ref()
+        cost_sc = nxt_ref()
 
-        F = make_nlmpc_tile_funcs(consts, n, shp)
         skip_f = skip_ref[...].reshape(shp)
+        m2 = jnp.clip(hzn_ref[...].reshape(shp), 2, n)  # (shp) i32
+        hzn_f = hzn_ref[...].reshape(shp).astype(jnp.float32)
+        h1 = hzn_ref[...].reshape(shp) <= 1
+        F = make_nlmpc_tile_funcs(consts, n, shp, mm=m2)
         us_ref[...] = jnp.zeros((n, 2, tile), jnp.float32)
         fe_ref[...] = jnp.zeros((tile,), jnp.float32)
         ng_ref[...] = jnp.zeros((4, tile), jnp.float32)
+        idx_ref[...] = jnp.zeros((tile,), jnp.int32)
+        row_ref[...] = jnp.zeros((tile,), jnp.int32)
+        succ_ref[...] = jnp.zeros((tile,), jnp.float32)
 
         @pl.when(jnp.max(1.0 - skip_f) > 0.5)
         def _():
@@ -133,33 +174,81 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
             for j in range(n):
                 warm.append(F.clip_a(uw_ref[j, 0].reshape(shp)))
                 warm.append(F.clip_d(uw_ref[j, 1].reshape(shp)))
+            # horizon-1 reach state: one dynamics step from the RAW first
+            # warm input (the general path uses the unclipped u_warm[0],
+            # control/batched_nlmpc_soa.py)
+            x1 = F.step(x0c, uw_ref[0, 0].reshape(shp),
+                        uw_ref[0, 1].reshape(shp))
 
-            # --- kNN + candidate extraction per safe-set lap ---
+            def feas_of(xt, feasible_f):
+                """h1 lanes are judged by the pure reach check
+                (nonlinear_lmpc.py:199-213), others by the solve verdict.
+                Carried as f32 0/1 — Mosaic cannot materialize a select of
+                i1 vectors ('unsupported truncation')."""
+                d2 = sum((x1[c] - xt[c]) ** 2 for c in range(4))
+                reach_f = (jnp.sqrt(jnp.maximum(d2, 0.0))
+                           <= 1e-3).astype(jnp.float32)
+                return jnp.where(h1, reach_f, feasible_f)
+
+            # --- candidate extraction per safe-set lap row ---
             for off in range(nsi):
                 st = [st_refs[off][0, :, c, :] for c in range(4)]  # (T, tile)
                 qf = qf_refs[off][0]  # (T, tile)
                 ll = ll_ref[s_ref[off]]  # (tile,) i32
                 lap_ok = s_ref[nsi + off] > 0
-                dist = (jnp.abs(st[0] - gg[0][None, :])
-                        + jnp.abs(st[1] - gg[1][None, :])
-                        + jnp.abs(st[2] - gg[2][None, :])
-                        + jnp.abs(st[3] - gg[3][None, :]))
-                valid = (t_iota < ll[None, :]) & lap_ok
-                d = jnp.where(valid, dist, inf)
-                for kk in range(k):
-                    dmin = jnp.min(d, axis=0)
-                    # first-min index == jnp.argmin (matches _topk_select)
-                    j = jnp.min(jnp.where(d == dmin[None, :], t_iota, t_rows),
-                                axis=0)
-                    m = t_iota == j[None, :]
-                    ci = off * k + kk
-                    for c in range(4):
-                        cand_xt[ci, c] = jnp.sum(
-                            jnp.where(m, st[c], 0.0), axis=0)
-                    cand_q[ci] = jnp.sum(jnp.where(m, qf, 0.0), axis=0)
-                    cand_idx[ci] = j
-                    cand_ok[ci] = jnp.isfinite(dmin).astype(jnp.float32)
-                    d = jnp.where(m, inf, d)
+                if time_varying:
+                    # advancing index window (base.py:537-546): base index
+                    # = lap_cost - min_cost + N + t (always > 0), entries
+                    # valid iff idx < lap_len (a SUFFIX invalidation —
+                    # prefix-validity holds for the ragged -inf emulation),
+                    # fallback to the lap's last point when none is valid.
+                    # Mirrors batched_nlmpc_soa.solve_step_general op-for-op.
+                    start = ((ll - 1) - mc_ref[...] + n
+                             + t_ref[...])  # (tile,) i32
+                    ijs, vjs = [], []
+                    any_v = jnp.zeros((tile,), jnp.float32)
+                    for kk in range(k):
+                        ij = start + kk
+                        vj = (ij > 0) & (ij < ll)
+                        ijs.append(ij)
+                        vjs.append(vj)
+                        any_v = jnp.maximum(any_v, vj.astype(jnp.float32))
+                    ijs[0] = jnp.where(any_v > 0.5, ijs[0], ll - 1)
+                    vjs[0] = vjs[0] | (any_v <= 0.5)
+                    for kk in range(k):
+                        ci = off * k + kk
+                        ijc = jnp.clip(ijs[kk], 0, t_rows - 1)
+                        oh = ((t_iota == ijc[None, :])
+                              & vjs[kk][None, :])
+                        for c in range(4):
+                            cand_xt[ci, c] = jnp.sum(
+                                jnp.where(oh, st[c], 0.0), axis=0)
+                        cand_q[ci] = jnp.sum(jnp.where(oh, qf, 0.0), axis=0)
+                        cand_idx[ci] = ijc
+                        cand_ok[ci] = (vjs[kk] & lap_ok).astype(jnp.float32)
+                else:
+                    # L1-kNN around the terminal guess (base.py:548-555)
+                    dist = (jnp.abs(st[0] - gg[0][None, :])
+                            + jnp.abs(st[1] - gg[1][None, :])
+                            + jnp.abs(st[2] - gg[2][None, :])
+                            + jnp.abs(st[3] - gg[3][None, :]))
+                    valid = (t_iota < ll[None, :]) & lap_ok
+                    d = jnp.where(valid, dist, inf)
+                    for kk in range(k):
+                        dmin = jnp.min(d, axis=0)
+                        # first-min index == jnp.argmin (matches
+                        # _topk_select)
+                        j = jnp.min(jnp.where(d == dmin[None, :], t_iota,
+                                              t_rows), axis=0)
+                        m = t_iota == j[None, :]
+                        ci = off * k + kk
+                        for c in range(4):
+                            cand_xt[ci, c] = jnp.sum(
+                                jnp.where(m, st[c], 0.0), axis=0)
+                        cand_q[ci] = jnp.sum(jnp.where(m, qf, 0.0), axis=0)
+                        cand_idx[ci] = j
+                        cand_ok[ci] = jnp.isfinite(dmin).astype(jnp.float32)
+                        d = jnp.where(m, inf, d)
 
             if qsort_skip:
                 # --- q-sorted candidate solves with dominance skip ---
@@ -200,11 +289,11 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                         slot_p = jnp.where(sel[j], j, slot_p)
                     q_eff = jnp.where(ok_p > 0.5, q_p, inf_t)
                     # positions are q-ascending: once best is finite, this
-                    # and every later candidate has n + q >= best and can
+                    # and every later candidate has hzn + q >= best and can
                     # only tie with a LARGER original slot (stable rank) —
                     # pre-done is selection-invariant. Position 0 always
                     # solves (the all-infeasible slot-0 fallback).
-                    lane_skip = (float(n) + q_eff >= best_cost) & (p > 0)
+                    lane_skip = (hzn_f + q_eff >= best_cost) & (p > 0)
                     skip_all = jnp.maximum(skip_f,
                                            lane_skip.astype(jnp.float32))
                     us, _xs, _te, feasible = F.feasibility_solve(
@@ -214,8 +303,9 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                         for i in range(n):
                             sol_us[p, i, 0] = us[i][0].reshape(tile)
                             sol_us[p, i, 1] = us[i][1].reshape(tile)
-                    cost = jnp.where((feasible > 0.5) & (ok_p > 0.5)
-                                     & ~lane_skip, float(n) + q_p, inf)
+                    feas = feas_of(tuple(xt), feasible)
+                    cost = jnp.where((feas > 0.5) & (ok_p > 0.5)
+                                     & ~lane_skip, hzn_f + q_p, inf)
                     upd = cost < best_cost  # ties keep the earlier position
                     # tile-level early termination: lane_skip is MONOTONE in
                     # position (q ascends per lane; a skipped position never
@@ -255,22 +345,34 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                             sol_us[ci, i, 1] = us[i][1].reshape(tile)
                     q = cand_q[ci].reshape(shp)
                     okc = cand_ok[ci].reshape(shp) > 0.5
-                    cost = jnp.where((feasible > 0.5) & okc,
-                                     float(n) + q, inf)
+                    feas = feas_of(xt, feasible)
+                    cost = jnp.where((feas > 0.5) & okc, hzn_f + q, inf)
                     cost_sc[ci] = cost.reshape(tile)
                     return 0
 
                 jax.lax.fori_loop(0, nc, solve_ci, 0)
 
                 # --- lexicographic row-min + argmin over k (base.py:605-611;
-                # shared tile helper) ---
+                # ragged list-min: absent slots rank -inf in the comparison
+                # copy, mirroring the simulator's rows_cmp; shared helper) ---
                 rows = [[cost_sc[off * k + kk].reshape(shp)
                          for kk in range(k)] for off in range(nsi)]
-                best_row, best_col, best_cost = lex_argmin_tile(rows, shp)
+                cmp_rows = []
+                for off in range(nsi):
+                    lap_ok_s = s_ref[nsi + off] > 0
+                    crow = []
+                    for kk in range(k):
+                        okf = cand_ok[off * k + kk].reshape(shp) > 0.5
+                        c = jnp.where(okf, rows[off][kk], -inf)
+                        crow.append(jnp.where(lap_ok_s, c, inf))
+                    cmp_rows.append(crow)
+                best_row, best_col, best_cost = lex_argmin_tile(
+                    rows, shp, cmp_rows=cmp_rows)
                 ci_sel = best_row * k + best_col
                 store_sel = ci_sel
             idx_sel = jnp.zeros(shp, jnp.int32)
             len_sel = jnp.zeros(shp, jnp.int32)
+            xt_sel = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
             if store_solutions:
                 us_sel = [jnp.zeros(shp, jnp.float32) for _ in range(2 * n)]
                 for ci in range(nc):
@@ -285,11 +387,13 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                             us_sel[2 * i + 1])
                     idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
                                         idx_sel)
+                    for c in range(4):
+                        xt_sel[c] = jnp.where(
+                            sel, cand_xt[ci, c].reshape(shp), xt_sel[c])
             else:
                 # re-solve the per-lane winner (identical pure solve of the
                 # same extracted terminal state and warm start — bitwise
                 # the stored solution)
-                xt_sel = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
                 for ci in range(nc):
                     sel = ci_sel == ci
                     for c in range(4):
@@ -308,9 +412,18 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                 len_sel = jnp.where(best_row == off,
                                     ll_ref[s_ref[off]].reshape(shp), len_sel)
             feasible_any = jnp.isfinite(best_cost).astype(jnp.float32)
+            succ_m = (idx_sel + 1) <= (len_sel - 1)
 
-            # --- terminal guess -> successor safe-set point of the chosen
-            # lap (base.py:621-622): one-hot row extraction per lap ---
+            # --- pre-freeze guess advance (base.py:619-654): successor
+            # safe-set point when one exists, else the horizon-m prediction
+            # of the winner solution (xt for h1 lanes) ---
+            xs_w = [x0c]
+            for i in range(n):
+                xs_w.append(F.step(xs_w[-1], us_sel[2 * i],
+                                   us_sel[2 * i + 1]))
+            x_pred = [F.at_m([xs_w[kk][c] for kk in range(n + 1)])
+                      for c in range(4)]
+            x_pred = [jnp.where(h1, xt_sel[c], x_pred[c]) for c in range(4)]
             nxt = jnp.clip(idx_sel + 1, 0, len_sel - 1)  # (shp) i32
             nxt_flat = nxt.reshape(tile)
             new_guess = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
@@ -324,6 +437,8 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                     val = jnp.sum(jnp.where(m, st[c], 0.0),
                                   axis=0).reshape(shp)
                     new_guess[c] = jnp.where(sel_off, val, new_guess[c])
+            new_guess = [jnp.where(succ_m, new_guess[c], x_pred[c])
+                         for c in range(4)]
 
             for i in range(n):
                 us_ref[i, 0] = us_sel[2 * i].reshape(tile)
@@ -331,9 +446,15 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
             fe_ref[...] = feasible_any.reshape(tile)
             for c in range(4):
                 ng_ref[c] = new_guess[c].reshape(tile)
+            # winner identity for the caller's faithful warm-start append
+            # (chosen point's STORED input, base.py:630-639) and the
+            # successor / horizon-decrement branch (base.py:640-654)
+            idx_ref[...] = idx_sel.reshape(tile)
+            row_ref[...] = best_row.reshape(tile)
+            succ_ref[...] = succ_m.astype(jnp.float32).reshape(tile)
 
     def solve(x, guess, u_warm, states, qfun, lap_len, lap_ids, lap_ok,
-              obs_lanes, skip):
+              obs_lanes, skip, hzn, t=None, min_cost=None):
         b = x.shape[-1]
         assert b % tile == 0, f"batch {b} must be a multiple of {tile}"
         grid = (b // tile,)
@@ -356,7 +477,11 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                pl.BlockSpec((4, tile), lambda i, s: (0, i)),
                pl.BlockSpec((n, 2, tile), lambda i, s: (0, 0, i)),
                pl.BlockSpec((7, tile), lambda i, s: (0, i)),
-               pl.BlockSpec((tile,), lambda i, s: (i,))])
+               pl.BlockSpec((tile,), lambda i, s: (i,)),
+               pl.BlockSpec((tile,), lambda i, s: (i,))]
+            + ([pl.BlockSpec((tile,), lambda i, s: (i,)),
+                pl.BlockSpec((tile,), lambda i, s: (i,))]
+               if time_varying else []))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -365,6 +490,9 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                 pl.BlockSpec((n, 2, tile), lambda i, s: (0, 0, i)),
                 pl.BlockSpec((tile,), lambda i, s: (i,)),
                 pl.BlockSpec((4, tile), lambda i, s: (0, i)),
+                pl.BlockSpec((tile,), lambda i, s: (i,)),
+                pl.BlockSpec((tile,), lambda i, s: (i,)),
+                pl.BlockSpec((tile,), lambda i, s: (i,)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((nc, 4, tile), jnp.float32),     # cand_xt
@@ -378,7 +506,13 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
             ],
         )
         args = [sargs] + [states] * nsi + [qfun] * nsi \
-            + [lap_len, x, guess, u_warm, obs_lanes, skip]
+            + [lap_len, x, guess, u_warm, obs_lanes, skip,
+               hzn.astype(jnp.int32)]
+        if time_varying:
+            if t is None or min_cost is None:
+                raise ValueError("timeVarying step kernel needs t and "
+                                 "min_cost inputs")
+            args += [t.astype(jnp.int32), min_cost.astype(jnp.int32)]
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -386,6 +520,9 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                 jax.ShapeDtypeStruct((n, 2, b), jnp.float32),
                 jax.ShapeDtypeStruct((b,), jnp.float32),
                 jax.ShapeDtypeStruct((4, b), jnp.float32),
+                jax.ShapeDtypeStruct((b,), jnp.int32),
+                jax.ShapeDtypeStruct((b,), jnp.int32),
+                jax.ShapeDtypeStruct((b,), jnp.float32),
             ],
             interpret=interpret,
         )(*args)
@@ -393,9 +530,9 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     solve_jit = jax.jit(solve)
 
     def solve_api(x, guess, u_warm, states, qfun, lap_len, lap_ids, lap_ok,
-                  obs_lanes, skip):
+                  obs_lanes, skip, hzn, t=None, min_cost=None):
         return solve_jit(x, guess, u_warm, states, qfun, lap_len, lap_ids,
-                         lap_ok, obs_lanes, skip)
+                         lap_ok, obs_lanes, skip, hzn, t, min_cost)
 
     solve_api.tile = tile
     solve_api.nsi = nsi
@@ -407,4 +544,6 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     solve_api.store_solutions = store_solutions
     solve_api.zeros_skip = zeros_skip
     solve_api.qsort_skip = qsort_skip
+    solve_api.mode = mode
+    solve_api.all_iter = False
     return solve_api

@@ -82,6 +82,12 @@ def _shardmap_sim(sim_fn, params, limits, scenarios, seed_xs, seed_us,
                             dt, key, **kw)._replace(
                                 final_key=jnp.zeros((2,), jnp.uint32)),
         scenarios)
+    extra = {}
+    if getattr(out_shapes, "shrink_hits", None) is not None:
+        extra["shrink_hits"] = trailing(out_shapes.shrink_hits)
+    if getattr(out_shapes, "iter_stats", ()) != ():
+        extra["iter_stats"] = tuple(trailing(t)
+                                    for t in out_shapes.iter_stats)
     out_specs = type(out_shapes)(
         lap_steps=trailing(out_shapes.lap_steps),
         lap_done=trailing(out_shapes.lap_done),
@@ -89,6 +95,7 @@ def _shardmap_sim(sim_fn, params, limits, scenarios, seed_xs, seed_us,
         safe_set=tuple(trailing(t) for t in out_shapes.safe_set),
         lap_count=P(),
         final_key=P(),
+        **extra,
     )
     fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)

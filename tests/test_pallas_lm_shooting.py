@@ -110,3 +110,48 @@ def test_pallas_lm_absent_obstacle():
                                    num_horizon=6, max_iters=60)
     assert ((np.asarray(fe_p) > 0.5) == np.asarray(ref.feasible)).mean() \
         >= 0.99
+
+
+@pytest.mark.slow
+def test_pallas_lm_with_hzn_matches_soa_m_lanes():
+    """with_hzn=True applies the exact per-lane horizon-m masking of
+    lm_feasibility_solve_soa(m_lanes=...) (the LMPC shrinking-horizon
+    branch, base.py:640-654): feasibility decisions agree with the SoA
+    reference at every m in [2, N], and x_last reports the horizon-m state."""
+    limits = SystemLimits.make(dtype=DT)
+    obs = Obstacle.make(8.0, -1.0, 4.0, 3.0, dtype=DT)
+    batch = 1024
+    xts = _realistic_candidates(batch)
+    x0 = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0, 0.0], DT)[:, None], (4, batch))
+    rng = np.random.default_rng(5)
+    u_warm = jnp.asarray(0.3 * rng.normal(size=(6, 2, batch)), DT)
+    hzn = jnp.asarray(rng.integers(2, 7, size=batch), jnp.int32)
+
+    solve = build_fused_lm_shooting(limits, 1.0, num_horizon=6,
+                                    tile_rows=8, interpret=True,
+                                    with_skip=True, with_hzn=True)
+    us_p, xm_p, te_p, fe_p = solve(x0, xts, u_warm,
+                                   obstacle_to_lanes_nlmpc(obs, batch),
+                                   None, hzn)
+    ref = lm_feasibility_solve_soa(limits, obs, x0, xts, u_warm, 1.0,
+                                   num_horizon=6, max_iters=60,
+                                   m_lanes=hzn)
+    fe_s = np.asarray(ref.feasible)
+    fe_pb = np.asarray(fe_p) > 0.5
+    assert (fe_pb == fe_s).mean() >= 0.99  # f32 borderline-lane slack
+    both = fe_pb & fe_s
+    assert both.mean() > 0.4
+    np.testing.assert_allclose(np.asarray(te_p)[both],
+                               np.asarray(ref.term_err)[both], atol=2e-4)
+    # x_last must be the horizon-m state: re-roll the kernel's inputs and
+    # compare against the m-indexed rollout state per lane
+    from ilqr_iterative_tasks_tpu.ops.ilqr_soa import step_soa
+    xs = [tuple(x0[i] for i in range(4))]
+    for j in range(6):
+        xs.append(step_soa(xs[-1], (us_p[j, 0], us_p[j, 1]), 1.0))
+    m_np = np.asarray(hzn)
+    for c in range(4):
+        want = np.stack([np.asarray(xs[m][c]) for m in range(7)])[
+            m_np, np.arange(batch)]
+        np.testing.assert_allclose(np.asarray(xm_p[c]), want, atol=1e-5)

@@ -1,8 +1,12 @@
 """Whole-control-step fused NLMPC kernel (ops/pallas_nlmpc_step.py) vs the
-composed path (per-candidate fused LM-shooting kernel + XLA kNN/selection
-glue). Same bitwise-equality argument as tests/test_pallas_i2lqr_step.py:
-lockstep-invariant per-lane solves + op-for-op mirrored glue math.
-"""
+composed path (general XLA glue + per-candidate fused LM-shooting kernel
+with with_skip/with_hzn — the kNN/selection/bookkeeping math is mirrored
+op-for-op and the solves share the same tile functions, so runs are
+BITWISE equal). Same equality argument as tests/test_pallas_i2lqr_step.py:
+lockstep-invariant per-lane solves + shared ``_advance_tail`` bookkeeping.
+Both routes carry the exact reference semantics incl. per-lane shrinking
+horizons (base.py:640-654) and the h1 reach check (nonlinear_lmpc.py:
+199-213)."""
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +53,7 @@ def _run_both(params, limits, seed_xs, seed_us, xcl, obstacle, b, num_laps,
     key = jax.random.PRNGKey(5)
     composed_solver = build_fused_lm_shooting(
         limits, 1.0, num_horizon=params.num_horizon, max_iters=cap,
-        tile_rows=1, interpret=True)
+        tile_rows=1, interpret=True, with_skip=True, with_hzn=True)
     composed = simulate_nlmpc_runs_soa(
         params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
         pallas_solver=composed_solver, **kw)
@@ -164,3 +168,43 @@ def test_nlmpc_step_kernel_qsort_skip_requires_nsi1():
                                num_horizon=params.num_horizon, max_steps=128,
                                max_laps=8, max_iters=8, tile_rows=1,
                                qsort_skip=True, interpret=True)
+
+
+@pytest.mark.slow
+def test_nlmpc_step_kernel_time_varying_bitwise():
+    """mode="timeVarying": the in-kernel advancing index window
+    (base.py:537-546, incl. the last-point fallback) + per-lane shrinking
+    horizons must reproduce the composed route (general XLA glue +
+    per-candidate kernel) bitwise across a full learning lap. timeVarying
+    laps run long (~111 steps at f64) — one lap, full reference budget."""
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup(
+        ss_option="timeVarying")
+    b = 128
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=1, max_steps=128, max_laps=8, max_lm_iters=8,
+              sim_step_budget=121)
+    key = jax.random.PRNGKey(29)
+    composed_solver = build_fused_lm_shooting(
+        limits, 1.0, num_horizon=params.num_horizon, max_iters=8,
+        tile_rows=1, interpret=True, with_skip=True, with_hzn=True)
+    composed = simulate_nlmpc_runs_soa(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+        pallas_solver=composed_solver, **kw)
+    step_solver = build_fused_nlmpc_step(
+        params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
+        max_laps=8, max_iters=8, tile_rows=1, mode="timeVarying",
+        interpret=True)
+    fused = simulate_nlmpc_runs_soa(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+        pallas_step_solver=step_solver, **kw)
+    _assert_bitwise(composed, fused)
+
+
+def test_nlmpc_step_kernel_rejects_all_mode():
+    params, limits, *_ = _setup()
+    with pytest.raises(ValueError, match="all"):
+        build_fused_nlmpc_step(params, limits, 1.0,
+                               num_horizon=params.num_horizon, max_steps=128,
+                               max_laps=8, max_iters=8, tile_rows=1,
+                               mode="all", interpret=True)
