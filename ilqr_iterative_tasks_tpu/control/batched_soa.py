@@ -199,7 +199,8 @@ def _lex_argmin_rows(cost_rows):
 @partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
                                    "goal_append", "sim_step_budget",
                                    "solver_max_iter", "pallas_solver",
-                                   "pallas_step_solver", "dedup_passes"))
+                                   "pallas_step_solver", "dedup_passes",
+                                   "stall_reseed"))
 def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                scenarios: SoaScenarios, seed_xs, seed_us,
                                seed_len, dt, key, *, num_laps: int,
@@ -210,6 +211,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                pallas_solver=None,
                                pallas_step_solver=None,
                                dedup_passes: bool = False,
+                               stall_reseed: int | None = None,
                                resume_from=None) -> SoaRunResult:
     """Seed + ``num_laps`` learning laps for B scenarios, batch-trailing.
 
@@ -242,6 +244,22 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
     early exits save, and B=65536 hit a device fault. Keep OFF for the
     headline; revisit for enlarged-candidate configs (k=32, nsi=4) where the
     duplicate mass per pass is much larger.
+
+    ``stall_reseed`` (robustness guard, default OFF — behavior then matches
+    the reference exactly): the i2LQR parked-lane failure mode (docs/PERF.md
+    "Randomized scenario sweeps") is a lane whose kNN keeps selecting an
+    in-place candidate: the winner's time-to-go Qfun stops decreasing and
+    the vehicle sits at a stationary point off the track. With
+    ``stall_reseed=S``, a lane whose chosen candidate's Qfun has not
+    strictly decreased for S consecutive control steps gets its PASS-0 kNN
+    guess re-seeded to the GOAL (instead of the current state,
+    base.py:398), pulling the candidate set toward goal-ward safe-set
+    points; the relaxed-reach tiers (80/10^pass, base.py:427-437) make
+    distant candidates selectable, so the solver drives out of the parking
+    orbit. Within-envelope on nominal scenarios (the winner's q decreases
+    nearly every step, so S=3+ almost never fires —
+    tests/test_behavior_envelope.py); measured effect on the randomized
+    moving-obstacle canary in docs/PERF.md.
     """
     if dedup_passes and pallas_solver is None:
         raise ValueError("dedup_passes requires a pallas_solver "
@@ -326,10 +344,13 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
     stats_on = (pallas_step_solver is not None
                 and getattr(pallas_step_solver, "with_stats", False))
 
-    def solve_step(ss, lap_count, x, obstacle, inactive=None):
+    def solve_step(ss, lap_count, x, g0, obstacle, inactive=None):
         """One i2LQR calc_input for all B lanes.
 
-        x: (4, B). Returns u (2, B), u_old (N, 2, B), shrink (B,).
+        x: (4, B); g0: (4, B) pass-0 kNN guess (normally x, base.py:398;
+        the stall-reseed guard substitutes the goal). Returns
+        (u (2, B), u_old (N, 2, B), shrink (B,), idx_sel (B,) i32,
+        row_sel (B,) i32, stats).
 
         ``inactive``: (B,) bool — lanes whose solve result the caller will
         discard (finished-lap and replay-mode lanes). When the fused kernel
@@ -361,13 +382,13 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             lap_ids, lap_ok, skip = _step_solver_inputs(
                 lap_count, nsi, max_laps, inactive, b)
             out = pallas_step_solver(
-                x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
-            us_sel, shrink_f = out[0], out[1]
-            stats = tuple(out[2:5]) if stats_on else None
+                x, g0, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
+            us_sel, shrink_f, idx_o, row_o = out[0], out[1], out[2], out[3]
+            stats = tuple(out[4:7]) if stats_on else None
             u = us_sel[0]
             u_old = jnp.concatenate(
                 [us_sel[1:], jnp.zeros((1, 2, b), dtype)], axis=0)
-            return u, u_old, shrink_f > 0.5, stats
+            return u, u_old, shrink_f > 0.5, idx_o, row_o, stats
 
         states, qfun, valid, lap_len = ss
         zeros_ws = jnp.zeros((n, 2, b), dtype)
@@ -554,19 +575,20 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             lap_sel = jnp.take_along_axis(
                 jnp.stack(rows_lap), best_row[None, :].astype(jnp.int32),
                 axis=0)[0]  # (B,)
-            return xl_sel, us_sel, idx_sel, lap_sel, new_cache
+            return (xl_sel, us_sel, idx_sel, lap_sel,
+                    best_row.astype(jnp.int32), new_cache)
 
-        xg = tuple(x[i] for i in range(4))
-        xl_p, us_p, idx_c, lap_c, cch = one_pass(0, xg)
-        xl_p, us_p, idx_c, lap_c, cch = one_pass(
+        xg = tuple(g0[i] for i in range(4))
+        xl_p, us_p, idx_c, lap_c, row_c, cch = one_pass(0, xg)
+        xl_p, us_p, idx_c, lap_c, row_c, cch = one_pass(
             1, tuple(xl_p[i] for i in range(4)), cch if dedup_passes else None)
-        xl_p, us_p, idx_c, lap_c, _ = one_pass(
+        xl_p, us_p, idx_c, lap_c, row_c, _ = one_pass(
             2, tuple(xl_p[i] for i in range(4)), cch if dedup_passes else None)
         chosen_len = jnp.take_along_axis(lap_len, lap_c[None, :], axis=0)[0]
         shrink = (idx_c + 1) > (chosen_len - 1)
         u = us_p[0]  # (2, B)
         u_old = jnp.concatenate([us_p[1:], jnp.zeros((1, 2, b), dtype)], axis=0)
-        return u, u_old, shrink, None
+        return u, u_old, shrink, idx_c.astype(jnp.int32), row_c, None
 
     def run_lap(ss, lap_count, key):
         def step_cond(c):
@@ -575,12 +597,39 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
 
         def step_body(c):
             (x, t, done, obstacle, horizon_left, replay_pos, u_old, xs_rec,
-             key, acc) = c
+             key, stall, q_prev, acc) = c
             in_replay = horizon_left < n  # (B,)
-            u_solve, u_old_new, shrink, stats = solve_step(
-                ss, lap_count, x, obstacle, inactive=done | in_replay)
+            if stall_reseed is not None:
+                # stall-reseed guard (see simulate docstring): stalled lanes
+                # kNN around the GOAL on pass 0 instead of the current state
+                g0 = jnp.where((stall >= stall_reseed)[None, :],
+                               scenarios.goal, x)
+            else:
+                g0 = x
+            u_solve, u_old_new, shrink, idx_sel, row_sel, stats = solve_step(
+                ss, lap_count, x, g0, obstacle, inactive=done | in_replay)
             if stats_on:
                 acc = tuple(a + sv for a, sv in zip(acc, stats))
+            if stall_reseed is not None:
+                # winner's time-to-go: one-hot extraction of Qfun at the
+                # chosen (lap row, safe-set index); a lane whose q has not
+                # strictly decreased for S active steps is "stalled"
+                lap_ids_s, _, _ = _step_solver_inputs(
+                    lap_count, nsi, max_laps, None, b)
+                oh_q = (t_idx[:, None]
+                        == jnp.clip(idx_sel, 0, max_steps - 1)[None, :])
+                q_win = jnp.zeros((b,), dtype)
+                for off in range(nsi):
+                    qf_off = ss[1][lap_ids_s[off]]  # (T, B)
+                    q_win = jnp.where(
+                        row_sel == off,
+                        jnp.sum(jnp.where(oh_q, qf_off, 0.0), axis=0),
+                        q_win)
+                active = (~done) & (~in_replay)
+                progress = q_win < q_prev
+                stall = jnp.where(active,
+                                  jnp.where(progress, 0, stall + 1), stall)
+                q_prev = jnp.where(active, q_win, q_prev)
             # replay branch: stored input at replay_pos per lane. One-hot
             # mask-reduce instead of take_along_axis: the (2, B) gather runs
             # on the TPU scalar core (~1.7 ns/element measured) while the
@@ -629,7 +678,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)
             return (x_next, t_next, done_next, obstacle_next, horizon_next,
-                    replay_next, u_old_next, xs_rec, key, acc)
+                    replay_next, u_old_next, xs_rec, key, stall, q_prev, acc)
 
         xs_rec = jnp.zeros((max_steps, 4, b), dtype)
         xs_rec = xs_rec.at[0].set(scenarios.x0)
@@ -638,8 +687,10 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
         init = (scenarios.x0, jnp.zeros((b,), jnp.int32),
                 jnp.zeros((b,), bool), scenarios.obstacle,
                 jnp.full((b,), n, jnp.int32), jnp.zeros((b,), jnp.int32),
-                jnp.zeros((n, 2, b), dtype), xs_rec, key, acc0)
-        (x, t, done, _obs, _hl, _rp, _uo, xs_rec, key, acc) = (
+                jnp.zeros((n, 2, b), dtype), xs_rec, key,
+                jnp.zeros((b,), jnp.int32),
+                jnp.full((b,), jnp.inf, dtype), acc0)
+        (x, t, done, _obs, _hl, _rp, _uo, xs_rec, key, _st, _qp, acc) = (
             jax.lax.while_loop(step_cond, step_body, init))
         return xs_rec, t, done, key, acc
 

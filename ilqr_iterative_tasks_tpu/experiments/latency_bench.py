@@ -126,7 +126,8 @@ def bench_tpu_step_latency(batch: int = 1024, reps: int = 30,
     lap_ok = jnp.ones((1,), jnp.int32)
 
     def run():
-        out = solver(x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
+        out = solver(x, x, states, qfun, lap_len, lap_ids, lap_ok,
+                     obs_l, skip)
         jax.block_until_ready(out)
 
     run()
@@ -151,8 +152,8 @@ def bench_tpu_step_latency(batch: int = 1024, reps: int = 30,
         t0 = time.perf_counter()
         out = None
         for _ in range(pipeline_depth):
-            out = solver(x, states, qfun, lap_len, lap_ids, lap_ok, obs_l,
-                         skip)
+            out = solver(x, x, states, qfun, lap_len, lap_ids, lap_ok,
+                         obs_l, skip)
         jax.block_until_ready(out)
         amort.append((time.perf_counter() - t0) * 1e3 / pipeline_depth)
     amort.sort()

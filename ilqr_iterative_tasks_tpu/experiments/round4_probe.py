@@ -1,0 +1,137 @@
+"""Round-4 measurement probes (one chip). Each subcommand prints one JSON
+line; run them individually so a failure doesn't lose the session:
+
+  python -m ilqr_iterative_tasks_tpu.experiments.round4_probe stats
+      with_stats accounting at the qsort_skip operating point (docs/PERF.md
+      "Roofline" refresh): useful/executed/queue_floor at the headline
+      config.
+  python -m ilqr_iterative_tasks_tpu.experiments.round4_probe reuse
+      A/B of reuse_extract (pass-2/3 kNN skip) at the headline config.
+  python -m ilqr_iterative_tasks_tpu.experiments.round4_probe canary
+      randomized moving-obstacle completion at k8/nsi1 with
+      stall_reseed in {None, 3, 5} (robustness guard measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _setup(batch):
+    from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
+    from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+    from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+    from ilqr_iterative_tasks_tpu.utils.params import (IlqrParams,
+                                                       SystemLimits)
+
+    dtype = jnp.float32
+    params = IlqrParams.make(dtype=dtype)
+    limits = SystemLimits.make(dtype=dtype)
+    xcl, ucl = seed_trajectory(1.0)
+    seed_xs = jnp.zeros((128, 4), dtype).at[:121].set(jnp.asarray(xcl, dtype))
+    seed_us = jnp.zeros((128, 2), dtype).at[:120].set(jnp.asarray(ucl, dtype))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, batch,
+                                 noise_on=True, dtype=dtype)
+    return params, limits, seed_xs, seed_us, scs
+
+
+def _run(params, limits, scs, seed_xs, seed_us, batch, **solver_kw):
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        simulate_learning_runs_soa)
+    from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (
+        build_fused_i2lqr_step)
+
+    solver = build_fused_i2lqr_step(
+        params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
+        max_laps=8, max_iter=16, tile_rows=8, **solver_kw)
+    kw = dict(num_laps=3, max_steps=128, max_laps=8, solver_max_iter=16,
+              pallas_step_solver=solver)
+
+    def go(seed):
+        res = simulate_learning_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0,
+            jax.random.PRNGKey(seed), **kw)
+        jax.block_until_ready(res)
+        return res
+
+    t0 = time.time()
+    res = go(0)
+    compile_s = time.time() - t0
+    times = []
+    for rep in (1, 2):
+        t0 = time.perf_counter()
+        go(rep)
+        times.append(time.perf_counter() - t0)
+    return res, min(times), compile_s
+
+
+def cmd_stats():
+    batch = 32768
+    params, limits, seed_xs, seed_us, scs = _setup(batch)
+    res, best, compile_s = _run(params, limits, scs, seed_xs, seed_us, batch,
+                                dedup=True, qsort_skip=True, with_stats=True)
+    useful, execd, qfloor = (np.asarray(a, np.float64)
+                             for a in res.iter_stats)
+    print(json.dumps({
+        "probe": "with_stats_at_qsort_point", "batch": batch,
+        "lap_sims_per_s": round(batch * 3 / best, 1),
+        "useful_per_lane": round(float(useful.mean()), 1),
+        "executed_per_lane": round(float(execd.mean()), 1),
+        "straggler_waste": round(1 - float(useful.sum()) / float(execd.sum()),
+                                 4),
+        "queue_floor_per_lane": round(float(qfloor.mean()), 1),
+        "completion": round(float(np.asarray(res.lap_done).mean()), 4),
+        "compile_s": round(compile_s, 1),
+    }), flush=True)
+
+
+def cmd_reuse():
+    batch = 49152
+    params, limits, seed_xs, seed_us, scs = _setup(batch)
+    out = {}
+    for tag, kw in (("base", dict(dedup=True, qsort_skip=True)),
+                    ("reuse", dict(dedup=True, qsort_skip=True,
+                                   reuse_extract=True))):
+        res, best, compile_s = _run(params, limits, scs, seed_xs, seed_us,
+                                    batch, **kw)
+        out[tag] = {"lap_sims_per_s": round(batch * 3 / best, 1),
+                    "completion": round(
+                        float(np.asarray(res.lap_done).mean()), 4),
+                    "mean_lap_steps": [round(float(v), 2) for v in np.asarray(
+                        res.lap_steps, np.float64).mean(-1)],
+                    "compile_s": round(compile_s, 1)}
+    out["probe"] = "reuse_extract_ab"
+    out["batch"] = batch
+    out["speedup"] = round(out["reuse"]["lap_sims_per_s"]
+                           / out["base"]["lap_sims_per_s"], 3)
+    print(json.dumps(out), flush=True)
+
+
+def cmd_canary():
+    from ilqr_iterative_tasks_tpu.experiments.scenario_sweep import run_sweep
+    rows = {}
+    for sr in (None, 3, 5):
+        r = run_sweep(4096, 4, moving=True, num_ss_points=8, num_ss_iter=1,
+                      stall_reseed=sr, quiet=True)
+        rows[str(sr)] = {"completion": r["completion_rate"],
+                         "final_lap_mean": r["final_lap_mean"]}
+    print(json.dumps({"probe": "stall_reseed_canary", **rows}), flush=True)
+
+
+if __name__ == "__main__":
+    {"stats": cmd_stats, "reuse": cmd_reuse,
+     "canary": cmd_canary}[sys.argv[1]]()

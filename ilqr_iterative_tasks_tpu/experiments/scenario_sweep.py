@@ -31,7 +31,8 @@ def run_sweep(batch: int, num_laps: int, moving: bool = False,
               x0_jitter=(0.5, 0.5, 0.0, 0.0), obs_pos_jitter: float = 4.0,
               seed: int = 0, solver_max_iter: int = 16,
               num_ss_iter: int = 1, num_ss_points: int = 8,
-              use_pallas: bool | None = None, quiet: bool = False):
+              use_pallas: bool | None = None, quiet: bool = False,
+              stall_reseed: int | None = None):
     from ilqr_iterative_tasks_tpu.control.batched_soa import (
         SoaScenarios, simulate_learning_runs_soa)
     from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
@@ -61,7 +62,7 @@ def run_sweep(batch: int, num_laps: int, moving: bool = False,
         x0_jitter=x0_jitter, obs_pos_jitter=obs_pos_jitter,
         obs_spd_jitter=spd_jitter, noise_on=True, dtype=dtype)
     kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
-              solver_max_iter=solver_max_iter)
+              solver_max_iter=solver_max_iter, stall_reseed=stall_reseed)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas and batch % (8 * 128) == 0:
@@ -99,6 +100,7 @@ def run_sweep(batch: int, num_laps: int, moving: bool = False,
         "x0_jitter": (list(x0_jitter) if hasattr(x0_jitter, "__len__")
                       else x0_jitter),
         "obs_pos_jitter": obs_pos_jitter,
+        "stall_reseed": stall_reseed,
         "completion_rate": round(float(done.mean()), 4),
         "lap_steps_p50": [float(np.percentile(steps[i], 50))
                           for i in range(num_laps)],
@@ -125,6 +127,7 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--num-ss-iters", type=int, default=1)
     parser.add_argument("--num-ss-points", type=int, default=8)
+    parser.add_argument("--stall-reseed", type=int, default=None)
     parser.add_argument("--platform", type=str, default=None,
                         choices=["cpu", "tpu"])
     args = parser.parse_args(argv)
@@ -135,7 +138,8 @@ def main(argv=None):
               x0_jitter=xj[0] if len(xj) == 1 else tuple(xj),
               obs_pos_jitter=args.obs_pos_jitter,
               seed=args.seed, num_ss_iter=args.num_ss_iters,
-              num_ss_points=args.num_ss_points)
+              num_ss_points=args.num_ss_points,
+              stall_reseed=args.stall_reseed)
 
 
 if __name__ == "__main__":

@@ -59,12 +59,20 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                            stream_safe_set: bool = False,
                            store_solutions: bool = True,
                            with_stats: bool = False,
+                           reuse_extract: bool = False,
                            interpret: bool = False):
     """Factory: returns
-    fn(x (4,B), states (max_laps,T,4,B), qfun (max_laps,T,B),
+    fn(x (4,B), g0 (4,B), states (max_laps,T,4,B), qfun (max_laps,T,B),
        lap_len (max_laps,B) i32, lap_ids (nsi,) i32 [pre-clipped],
        lap_ok (nsi,) i32, obs (6,B), skip (B,) f32)
-    -> (us (n,2,B), shrink (B,) f32).
+    -> (us (n,2,B), shrink (B,) f32, idx_sel (B,) i32, row_sel (B,) i32).
+
+    ``g0`` is the PASS-0 kNN guess — the reference uses the current state
+    (base.py:398: x_guess = self.x on outer 0), so callers normally pass
+    ``x``; the stall-reseed robustness guard (control/batched_soa.py
+    ``stall_reseed``) substitutes the goal for stalled lanes. ``idx_sel`` /
+    ``row_sel`` identify the final pass's winning candidate (safe-set row
+    index + lap row) so the simulator can track the winner's Qfun.
 
     All hyperparameters (including num_ss_points k, num_ss_iter nsi, the
     3-pass relaxation schedule and thresholds) are baked as constants.
@@ -162,6 +170,16 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     remaining tail cannot change any lane's selection — the per-position
     body overhead (candidate selects, dedup matching, LM loop entry) is not
     paid for it. Validated bit-for-bit in tests/test_pallas_i2lqr_step.py.
+
+    ``reuse_extract``: relaxation passes 2/3 re-run the kNN extraction on
+    the re-centered guess; when NO lane of the tile changed its guess since
+    the previous pass (bitwise x_guess equality — common once the winner
+    stabilizes: pass p's guess is pass p-1's winner terminal state), the
+    candidate scratch (cand_xt/q/idx/ok) already holds EXACTLY the values
+    the extraction would recompute, so the whole per-lap kNN sweep is
+    skipped at tile level (pl.when). Bitwise-neutral by construction —
+    extraction is a pure function of (guess, safe set, lap ids), all
+    unchanged. Validated bit-for-bit in tests/test_pallas_i2lqr_step.py.
     """
     if dom_skip and int(params.num_ss_iter) != 1:
         raise ValueError("dom_skip requires num_ss_iter == 1 (the "
@@ -209,8 +227,8 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
         # would violate the TPU (8, 128) block-tiling rule) and is indexed
         # by the prefetched lap ids in-kernel.
         ll_ref = nxt()
-        x_ref, obs_ref, skip_ref = nxt(), nxt(), nxt()
-        us_ref, shrink_ref = nxt(), nxt()
+        x_ref, g0_ref, obs_ref, skip_ref = nxt(), nxt(), nxt(), nxt()
+        us_ref, shrink_ref, idxo_ref, rowo_ref = nxt(), nxt(), nxt(), nxt()
         if with_stats:
             useful_ref, exec_ref, qfloor_ref = nxt(), nxt(), nxt()
         cand_xt, cand_q, cand_ok, cand_idx = nxt(), nxt(), nxt(), nxt()
@@ -230,6 +248,8 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
         # caller but must not leak stale VMEM)
         us_ref[...] = jnp.zeros((n, 2, tile), jnp.float32)
         shrink_ref[...] = jnp.zeros((tile,), jnp.float32)
+        idxo_ref[...] = jnp.zeros((tile,), jnp.int32)
+        rowo_ref[...] = jnp.zeros((tile,), jnp.int32)
         if with_stats:
             useful_ref[...] = jnp.zeros((tile,), jnp.float32)
             exec_ref[...] = jnp.zeros((tile,), jnp.float32)
@@ -319,13 +339,27 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                     d = jnp.where(m, inf, d)
 
             def do_pass(p_idx, carry):
-                xg, _us_sel, _shrink = carry
+                xg, xg_prev, _us_sel, _shrink, _idx, _row = carry
                 unit = jnp.where(
                     p_idx == 0, jnp.float32(units[0]),
                     jnp.where(p_idx == 1, jnp.float32(units[1]),
                               jnp.float32(units[2])))
-                for off in range(nsi):
-                    extract(off, xg)
+                if reuse_extract:
+                    # skip the kNN sweeps when no lane's guess moved since
+                    # the previous pass — the candidate scratch already
+                    # holds exactly what extraction would recompute
+                    neq = jnp.zeros(shp, jnp.float32)
+                    for c in range(4):
+                        neq = jnp.maximum(
+                            neq, (xg[c] != xg_prev[c]).astype(jnp.float32))
+
+                    @pl.when((p_idx == 0) | (jnp.max(neq) > 0.5))
+                    def _extract_all():
+                        for off in range(nsi):
+                            extract(off, xg)
+                else:
+                    for off in range(nsi):
+                        extract(off, xg)
 
                 def prep(ci, best_sf):
                     """Candidate ``ci``'s solve inputs: terminal state,
@@ -747,17 +781,25 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                     qfloor_ref[...] = (qfloor_ref[...]
                                        + jnp.max(upass_fin)
                                        * jnp.ones((tile,), jnp.float32))
-                return (tuple(xl_sel), tuple(us_sel), shrink)
+                return (tuple(xl_sel), xg, tuple(us_sel), shrink, idx_sel,
+                        best_row)
 
-            xg0 = x0c
-            init = (xg0, zeros_ui, jnp.zeros(shp, jnp.float32))
-            _xg, us_sel, shrink = jax.lax.fori_loop(0, 3, do_pass, init)
+            # pass-0 kNN guess: the caller's g0 (normally the current state,
+            # base.py:398; the stall-reseed guard substitutes the goal)
+            xg0 = tuple(g0_ref[i].reshape(shp) for i in range(4))
+            init = (xg0, xg0, zeros_ui, jnp.zeros(shp, jnp.float32),
+                    jnp.zeros(shp, jnp.int32), jnp.zeros(shp, jnp.int32))
+            _xg, _xgp, us_sel, shrink, idx_fin, row_fin = jax.lax.fori_loop(
+                0, 3, do_pass, init)
             for i in range(n):
                 us_ref[i, 0] = us_sel[2 * i].reshape(tile)
                 us_ref[i, 1] = us_sel[2 * i + 1].reshape(tile)
             shrink_ref[...] = shrink.reshape(tile)
+            idxo_ref[...] = idx_fin.reshape(tile)
+            rowo_ref[...] = row_fin.reshape(tile)
 
-    def solve(x, states, qfun, lap_len, lap_ids, lap_ok, obs_lanes, skip):
+    def solve(x, g0, states, qfun, lap_len, lap_ids, lap_ok, obs_lanes,
+              skip):
         b = x.shape[-1]
         assert b % tile == 0, f"batch {b} must be a multiple of {tile}"
         grid = (b // tile,)
@@ -788,6 +830,7 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
             ss_specs
             + [pl.BlockSpec((max_laps, tile), lambda i, s: (0, i)),
                pl.BlockSpec((4, tile), lambda i, s: (0, i)),
+               pl.BlockSpec((4, tile), lambda i, s: (0, i)),
                pl.BlockSpec((6, tile), lambda i, s: (0, i)),
                pl.BlockSpec((tile,), lambda i, s: (i,))])
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -796,6 +839,8 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((n, 2, tile), lambda i, s: (0, 0, i)),
+                pl.BlockSpec((tile,), lambda i, s: (i,)),
+                pl.BlockSpec((tile,), lambda i, s: (i,)),
                 pl.BlockSpec((tile,), lambda i, s: (i,)),
             ] + ([
                 pl.BlockSpec((tile,), lambda i, s: (i,)),
@@ -828,13 +873,15 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
             ss_args = [states, qfun, jnp.arange(b, dtype=jnp.int32)]
         else:
             ss_args = [states] * nsi + [qfun] * nsi
-        args = [sargs] + ss_args + [lap_len, x, obs_lanes, skip]
+        args = [sargs] + ss_args + [lap_len, x, g0, obs_lanes, skip]
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((n, 2, b), jnp.float32),
                 jax.ShapeDtypeStruct((b,), jnp.float32),
+                jax.ShapeDtypeStruct((b,), jnp.int32),
+                jax.ShapeDtypeStruct((b,), jnp.int32),
             ] + ([
                 jax.ShapeDtypeStruct((b,), jnp.float32),
                 jax.ShapeDtypeStruct((b,), jnp.float32),
@@ -845,8 +892,9 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
 
     solve_jit = jax.jit(solve)
 
-    def solve_api(x, states, qfun, lap_len, lap_ids, lap_ok, obs_lanes, skip):
-        return solve_jit(x, states, qfun, lap_len, lap_ids, lap_ok,
+    def solve_api(x, g0, states, qfun, lap_len, lap_ids, lap_ok, obs_lanes,
+                  skip):
+        return solve_jit(x, g0, states, qfun, lap_len, lap_ids, lap_ok,
                          obs_lanes, skip)
 
     solve_api.tile = tile
@@ -863,4 +911,5 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     solve_api.stream_safe_set = stream_safe_set
     solve_api.store_solutions = store_solutions
     solve_api.with_stats = with_stats
+    solve_api.reuse_extract = reuse_extract
     return solve_api

@@ -81,3 +81,35 @@ def test_envelope_helper_rejects_material_drift():
         assert_behavior_envelope(base, worse)
     rec = compare_runs(base, worse)
     assert rec["delta_max"] == 1.0
+
+
+@pytest.mark.slow
+def test_i2lqr_stall_reseed_within_envelope_on_nominal():
+    """The stall-reseed robustness guard (control/batched_soa.py
+    ``stall_reseed``) must be behavior-neutral on NOMINAL scenarios: the
+    winner's time-to-go decreases nearly every step there, so the S=3
+    trigger (3 consecutive no-progress steps) should almost never fire —
+    any lanes it does touch must stay within the noise-level envelope.
+    Its intended effect (un-parking stalled lanes) only exists on the
+    randomized-jitter brittleness configs, measured on the bench canary
+    (docs/PERF.md)."""
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        simulate_learning_runs_soa)
+    from ilqr_iterative_tasks_tpu.utils.params import IlqrParams
+
+    params = IlqrParams.make(dtype=DT)
+    limits = SystemLimits.make(dtype=DT)
+    xcl, ucl = seed_trajectory(1.0)
+    seed_xs = jnp.zeros((128, 4), DT).at[:121].set(jnp.asarray(xcl, DT))
+    seed_us = jnp.zeros((128, 2), DT).at[:120].set(jnp.asarray(ucl, DT))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    b = 128
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=12,
+              sim_step_budget=70)
+    key = jax.random.PRNGKey(13)
+    runs = [simulate_learning_runs_soa(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+        stall_reseed=sr, **kw) for sr in (None, 3)]
+    assert_behavior_envelope(runs[0], runs[1])

@@ -171,10 +171,12 @@ def test_step_kernel_with_stats_decisions_unchanged():
               max_laps=max_laps, max_iter=8, tile_rows=1, interpret=True)
     base = build_fused_i2lqr_step(params, limits, 1.0, **kw)
     inst = build_fused_i2lqr_step(params, limits, 1.0, with_stats=True, **kw)
-    us0, sh0 = base(x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
-    us1, sh1, useful, execd, qfloor = inst(
-        x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
+    us0, sh0, ix0, rw0 = base(x, x, states, qfun, lap_len, lap_ids, lap_ok,
+                              obs_l, skip)
+    us1, sh1, ix1, _rw1, useful, execd, qfloor = inst(
+        x, x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
     assert jnp.all(us0 == us1) and jnp.all(sh0 == sh1)
+    assert jnp.all(ix0 == ix1)
     assert jnp.all(execd >= useful)
     assert float(jnp.max(useful[96:])) == 0.0
     assert jnp.all(qfloor >= 0.0)
@@ -184,9 +186,10 @@ def test_step_kernel_with_stats_decisions_unchanged():
     # schedule on this config
     qinst = build_fused_i2lqr_step(params, limits, 1.0, with_stats=True,
                                    qsort_skip=True, **kw)
-    us2, sh2, useful_q, execd_q, _qf = qinst(
-        x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
+    us2, sh2, ix2, _rw2, useful_q, execd_q, _qf = qinst(
+        x, x, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
     assert jnp.all(us0 == us2) and jnp.all(sh0 == sh2)
+    assert jnp.all(ix0 == ix2)
     assert jnp.all(execd_q >= useful_q)
     assert float(jnp.sum(execd_q)) < float(jnp.sum(execd))
 
@@ -278,3 +281,29 @@ def test_step_kernel_qsort_skip_builder_guards():
                                max_laps=8, max_iter=8, tile_rows=1,
                                qsort_skip=True, dom_skip=True,
                                interpret=True)
+
+
+@pytest.mark.slow
+def test_step_kernel_reuse_extract_bitwise_neutral():
+    """reuse_extract (skip the pass-2/3 kNN sweeps when no lane's guess
+    moved since the previous pass) must be bitwise-neutral vs the headline
+    dedup+qsort kernel: extraction is a pure function of (guess, safe set,
+    lap ids), and the candidate scratch retains exactly the values a re-run
+    would write."""
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 128,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=8,
+              sim_step_budget=70)
+    key = jax.random.PRNGKey(31)
+    runs = []
+    for reuse in (False, True):
+        solver = build_fused_i2lqr_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=8, max_iter=8, tile_rows=1,
+            dedup=True, qsort_skip=True, reuse_extract=reuse,
+            interpret=True)
+        runs.append(simulate_learning_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+            pallas_step_solver=solver, **kw))
+    _assert_bitwise(runs[0], runs[1])
