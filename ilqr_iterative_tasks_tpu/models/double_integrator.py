@@ -30,3 +30,15 @@ def step(x: jnp.ndarray, u: jnp.ndarray, dt) -> jnp.ndarray:
         ],
         axis=-1,
     )
+
+
+def step_comps(x, u, dt):
+    """Component-tuple form for the SoA generic solver
+    (ops/generic_ilqr_soa.py): x = (px, py, vx, vy), u = (ax, ay) as
+    batch-trailing arrays."""
+    px, py, vx, vy = x
+    ax, ay = u
+    return (px + vx * dt + 0.5 * ax * dt * dt,
+            py + vy * dt + 0.5 * ay * dt * dt,
+            vx + ax * dt,
+            vy + ay * dt)

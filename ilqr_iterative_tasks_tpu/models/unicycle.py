@@ -27,3 +27,13 @@ def step(x: jnp.ndarray, u: jnp.ndarray, dt) -> jnp.ndarray:
         ],
         axis=-1,
     )
+
+
+def step_comps(x, u, dt):
+    """Component-tuple form for the SoA generic solver
+    (ops/generic_ilqr_soa.py): x = (px, py, theta), u = (v, omega)."""
+    px, py, theta = x
+    v, omega = u
+    return (px + v * jnp.cos(theta) * dt,
+            py + v * jnp.sin(theta) * dt,
+            theta + omega * dt)

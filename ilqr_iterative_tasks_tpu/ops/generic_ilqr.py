@@ -77,10 +77,11 @@ def _reg_inv_sym(quu: jnp.ndarray, lamb) -> jnp.ndarray:
     return (evecs * f[..., None, :]) @ jnp.swapaxes(evecs, -1, -2)
 
 
-@partial(jax.jit, static_argnames=("step_fn",))
+@partial(jax.jit, static_argnames=("step_fn", "backward"))
 def generic_ilqr_solve(step_fn: Callable, cfg: GenericIlqrConfig,
                        x0: jnp.ndarray, x_terminal: jnp.ndarray,
-                       u_init: jnp.ndarray, lamb0, dt
+                       u_init: jnp.ndarray, lamb0, dt,
+                       backward: str = "sequential"
                        ) -> GenericIlqrSolution:
     """LM-regularized iLQR for a user dynamics ``step_fn(x, u, dt) -> x'``.
 
@@ -91,7 +92,20 @@ def generic_ilqr_solve(step_fn: Callable, cfg: GenericIlqrConfig,
     on |dcost/cost| < eps or lambda > max_lamb. Jacobians are autodiffed at
     the pre-step state (standard evaluation point; the bicycle path's
     successor-state quirk is a reference-parity detail of `ops/ilqr.py`).
+
+    ``backward``: "sequential" (default) = the O(N)-depth Riccati scan with
+    the reference's eigenvalue-clamp regularization; "parallel" = the
+    O(log N)-depth associative-scan Riccati of ops/parallel_riccati.py for
+    LONG horizons (SURVEY.md §5 long-context row). The parallel path uses
+    control-Tikhonov regularization (U + lamb I) instead of the eig clamp —
+    the standard LM variant compatible with a fixed element algebra; both
+    recover the Newton step as lamb -> 0 (see parallel_riccati module
+    docstring). Crossover vs N is measured in
+    experiments/generic_bench.py (docs/PERF.md).
     """
+    if backward not in ("sequential", "parallel"):
+        raise ValueError(f"unknown backward mode {backward!r}")
+    backward_mode = backward
     dtype = x0.dtype
     dt = jnp.asarray(dt, dtype=dtype)
     lamb0 = jnp.asarray(lamb0, dtype=dtype)
@@ -117,7 +131,7 @@ def generic_ilqr_solve(step_fn: Callable, cfg: GenericIlqrConfig,
     jac_x = jax.vmap(jax.jacfwd(step_fn, argnums=0), in_axes=(0, 0, None))
     jac_u = jax.vmap(jax.jacfwd(step_fn, argnums=1), in_axes=(0, 0, None))
 
-    def backward(xs, us, lamb):
+    def backward_sequential(xs, us, lamb):
         f_x = jac_x(xs[:-1], us, dt)  # (N, n, n)
         f_u = jac_u(xs[:-1], us, dt)  # (N, n, m)
         dxs = xs[:-1] - x_terminal
@@ -149,6 +163,32 @@ def generic_ilqr_solve(step_fn: Callable, cfg: GenericIlqrConfig,
             body, (v_x, v_xx), (f_x, f_u, l_u, l_uu, l_x, l_xx), reverse=True)
         return ks, big_ks
 
+    def backward_parallel(xs, us, lamb):
+        """O(log N)-depth backward via the associative-scan Riccati.
+
+        iLQR linearizes about the rollout, so the deviation dynamics have
+        zero drift (b = 0); stage data maps directly onto the
+        parallel_riccati element convention (V = 0.5 x'Px + p'x)."""
+        from ilqr_iterative_tasks_tpu.ops.parallel_riccati import (
+            parallel_lqr_gains)
+
+        f_x = jac_x(xs[:-1], us, dt)  # (N, n, n)
+        f_u = jac_u(xs[:-1], us, dt)  # (N, n, m)
+        nsteps = us.shape[0]
+        dxs = xs[:-1] - x_terminal
+        l_x = 2.0 * dxs @ cfg.matrix_Q
+        l_xx = jnp.broadcast_to(2.0 * cfg.matrix_Q,
+                                (nsteps,) + cfg.matrix_Q.shape)
+        l_u = 2.0 * us @ cfg.matrix_R
+        l_uu = jnp.broadcast_to(2.0 * cfg.matrix_R,
+                                (nsteps,) + cfg.matrix_R.shape)
+        v_x = 2.0 * cfg.matrix_Qterminal @ (xs[-1] - x_terminal)
+        v_xx = 2.0 * cfg.matrix_Qterminal
+        kff, big_k, _P, _p = parallel_lqr_gains(
+            f_x, jnp.zeros_like(l_x), f_u, l_xx, l_x, l_uu, l_u,
+            v_xx, v_x, lamb=lamb)
+        return kff, big_k
+
     def forward(xs, us, ks, big_ks):
         def body(x_new, inp):
             x_old, u_old, k_t, big_k = inp
@@ -165,12 +205,15 @@ def generic_ilqr_solve(step_fn: Callable, cfg: GenericIlqrConfig,
         us, lamb, it, done = carry
         return jnp.logical_and(it < cfg.max_iter, jnp.logical_not(done))
 
+    bw = (backward_sequential if backward_mode == "sequential"
+          else backward_parallel)
+
     def body(carry):
         us, lamb, it, done = carry
         us_c = clip_u(us)
         xs = rollout(us_c)
         cost = traj_cost(xs, us_c)
-        ks, big_ks = backward(xs, us_c, lamb)
+        ks, big_ks = bw(xs, us_c, lamb)
         xs_new, us_new, cost_new = forward(xs, us_c, ks, big_ks)
         accept = cost_new < cost
         us_next = jnp.where(accept, us_new, us_c)
@@ -188,10 +231,11 @@ def generic_ilqr_solve(step_fn: Callable, cfg: GenericIlqrConfig,
                                cost=traj_cost(xs, us))
 
 
-@partial(jax.jit, static_argnames=("step_fn",))
+@partial(jax.jit, static_argnames=("step_fn", "backward"))
 def generic_ilqr_solve_candidates(step_fn: Callable, cfg: GenericIlqrConfig,
                                   x0: jnp.ndarray, x_terminals: jnp.ndarray,
-                                  u_init: jnp.ndarray, lamb0, dt
+                                  u_init: jnp.ndarray, lamb0, dt,
+                                  backward: str = "sequential"
                                   ) -> GenericIlqrSolution:
     """vmap of ``generic_ilqr_solve`` over terminal-state candidates.
 
@@ -200,5 +244,6 @@ def generic_ilqr_solve_candidates(step_fn: Callable, cfg: GenericIlqrConfig,
     (`ops/ilqr.py::ilqr_solve_candidates`).
     """
     return jax.vmap(
-        lambda xt: generic_ilqr_solve(step_fn, cfg, x0, xt, u_init, lamb0, dt)
+        lambda xt: generic_ilqr_solve(step_fn, cfg, x0, xt, u_init, lamb0,
+                                      dt, backward)
     )(x_terminals)

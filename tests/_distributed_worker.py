@@ -2,16 +2,17 @@
 
 Launched by tests/test_distributed.py as one OS process per simulated host:
 
-    python tests/_distributed_worker.py <port> <process_id> <num_processes> <out.npz>
+    python tests/_distributed_worker.py <port> <process_id> <num_processes> \
+        <out.npz> [nlmpc|i2lqr]
 
 Each process exposes 2 virtual CPU devices, joins the coordination service
 over loopback (parallel/distributed.py::initialize_distributed), builds its
 host-local slice of a global scenario batch (host_local_batch_slice), lifts
 it to a global array (jax.make_array_from_process_local_data) on the
-host-major global mesh, runs ONE shard_map NLMPC learning lap, and writes its
-addressable result columns for the driver to compare against a single-process
-run on an equal-size virtual mesh (the per-shard PRNG fold makes the two
-bitwise comparable).
+host-major global mesh, runs ONE shard_map learning lap of the requested
+controller family, and writes its addressable result columns for the driver
+to compare against a single-process run on an equal-size virtual mesh (the
+per-shard PRNG fold makes the two bitwise comparable).
 """
 
 import os
@@ -19,6 +20,7 @@ import sys
 
 port, pid, nproc, out = (sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
                          sys.argv[4])
+which = sys.argv[5] if len(sys.argv) > 5 else "nlmpc"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=2")
 
@@ -51,14 +53,14 @@ def main():
     from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
     from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
     from ilqr_iterative_tasks_tpu.parallel.sharded_soa import (
-        simulate_nlmpc_runs_soa_shardmap)
+        simulate_learning_runs_soa_shardmap, simulate_nlmpc_runs_soa_shardmap)
     from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
-    from ilqr_iterative_tasks_tpu.utils.params import (LmpcParams,
+    from ilqr_iterative_tasks_tpu.utils.params import (IlqrParams,
+                                                       LmpcParams,
                                                        SystemLimits)
 
     dt64 = jnp.float64
     b = 8
-    params = LmpcParams.make(ss_option="spaceVarying")
     limits = SystemLimits.make(dtype=dt64)
     xcl, ucl = seed_trajectory(1.0)
     seed_xs = jnp.zeros((128, 4), dt64).at[:121].set(jnp.asarray(xcl, dt64))
@@ -75,10 +77,16 @@ def main():
             NamedSharding(mesh, spec), local)
 
     scen = jax.tree_util.tree_map(to_global, scen_full)
-    res = simulate_nlmpc_runs_soa_shardmap(
-        params, limits, scen, seed_xs, seed_us, 121, 1.0,
-        jax.random.PRNGKey(3), mesh, num_laps=1, max_steps=128, max_laps=4,
-        max_lm_iters=8)
+    if which == "i2lqr":
+        res = simulate_learning_runs_soa_shardmap(
+            IlqrParams.make(dtype=dt64), limits, scen, seed_xs, seed_us,
+            121, 1.0, jax.random.PRNGKey(3), mesh, num_laps=1,
+            max_steps=128, max_laps=4, solver_max_iter=8)
+    else:
+        res = simulate_nlmpc_runs_soa_shardmap(
+            LmpcParams.make(ss_option="spaceVarying"), limits, scen,
+            seed_xs, seed_us, 121, 1.0, jax.random.PRNGKey(3), mesh,
+            num_laps=1, max_steps=128, max_laps=4, max_lm_iters=8)
 
     def local_cols(arr):
         shards = sorted(arr.addressable_shards,

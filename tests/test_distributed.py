@@ -29,7 +29,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_process_reference():
+def _single_process_reference(which: str):
     """The same shard_map sim on a 4-device single-process virtual mesh."""
     import jax
     import jax.numpy as jnp
@@ -38,15 +38,16 @@ def _single_process_reference():
     from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
     from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
     from ilqr_iterative_tasks_tpu.parallel.sharded_soa import (
-        shard_soa_scenarios, simulate_nlmpc_runs_soa_shardmap)
+        shard_soa_scenarios, simulate_learning_runs_soa_shardmap,
+        simulate_nlmpc_runs_soa_shardmap)
     from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
-    from ilqr_iterative_tasks_tpu.utils.params import (LmpcParams,
+    from ilqr_iterative_tasks_tpu.utils.params import (IlqrParams,
+                                                       LmpcParams,
                                                        SystemLimits)
 
     dt64 = jnp.float64
     b = 8
     mesh = Mesh(np.array(jax.devices()[:4]), ("scenario",))
-    params = LmpcParams.make(ss_option="spaceVarying")
     limits = SystemLimits.make(dtype=dt64)
     xcl, ucl = seed_trajectory(1.0)
     seed_xs = jnp.zeros((128, 4), dt64).at[:121].set(jnp.asarray(xcl, dt64))
@@ -55,15 +56,20 @@ def _single_process_reference():
     scen = shard_soa_scenarios(
         SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
                                noise_on=True, dtype=dt64), mesh)
-    res = simulate_nlmpc_runs_soa_shardmap(
-        params, limits, scen, seed_xs, seed_us, 121, 1.0,
-        jax.random.PRNGKey(3), mesh, num_laps=1, max_steps=128, max_laps=4,
-        max_lm_iters=8)
+    if which == "i2lqr":
+        res = simulate_learning_runs_soa_shardmap(
+            IlqrParams.make(dtype=dt64), limits, scen, seed_xs, seed_us,
+            121, 1.0, jax.random.PRNGKey(3), mesh, num_laps=1,
+            max_steps=128, max_laps=4, solver_max_iter=8)
+    else:
+        res = simulate_nlmpc_runs_soa_shardmap(
+            LmpcParams.make(ss_option="spaceVarying"), limits, scen,
+            seed_xs, seed_us, 121, 1.0, jax.random.PRNGKey(3), mesh,
+            num_laps=1, max_steps=128, max_laps=4, max_lm_iters=8)
     return np.asarray(res.lap_steps), np.asarray(res.lap_done)
 
 
-@pytest.mark.slow
-def test_two_process_loopback_matches_single_process(tmp_path):
+def _run_loopback(tmp_path, which: str):
     port = _free_port()
     nproc = 2
     procs, outs = [], []
@@ -72,7 +78,8 @@ def test_two_process_loopback_matches_single_process(tmp_path):
         out = str(tmp_path / f"proc{pid}.npz")
         outs.append(out)
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(pid), str(nproc), out],
+            [sys.executable, WORKER, str(port), str(pid), str(nproc), out,
+             which],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT))
     logs = []
@@ -85,7 +92,7 @@ def test_two_process_loopback_matches_single_process(tmp_path):
         logs.append(stdout.decode(errors="replace"))
     assert all(p.returncode == 0 for p in procs), "\n".join(logs)
 
-    steps_ref, done_ref = _single_process_reference()
+    steps_ref, done_ref = _single_process_reference(which)
     covered = np.zeros(steps_ref.shape[-1], dtype=bool)
     for out in outs:
         z = np.load(out)
@@ -95,3 +102,16 @@ def test_two_process_loopback_matches_single_process(tmp_path):
         np.testing.assert_array_equal(z["done"], done_ref[..., sl])
         covered[sl] = True
     assert covered.all()  # the host-local slices tile the global batch
+
+
+@pytest.mark.slow
+def test_two_process_loopback_matches_single_process(tmp_path):
+    _run_loopback(tmp_path, "nlmpc")
+
+
+@pytest.mark.slow
+def test_two_process_loopback_i2lqr_matches_single_process(tmp_path):
+    """i2LQR mirror of the NLMPC loopback: the PRODUCTION learning simulator
+    (simulate_learning_runs_soa) over 2 OS processes x 2 virtual devices,
+    bitwise vs the same shard_map run in one process."""
+    _run_loopback(tmp_path, "i2lqr")

@@ -109,3 +109,131 @@ def test_autodiff_jacobians_match_analytic_linear_system():
         [[0.5 * dt * dt, 0.0], [0.0, 0.5 * dt * dt], [dt, 0.0], [0.0, dt]])
     np.testing.assert_allclose(np.asarray(A), A_exact, atol=1e-12)
     np.testing.assert_allclose(np.asarray(B), B_exact, atol=1e-12)
+
+
+def test_generic_soa_matches_aos_double_integrator():
+    """The SoA (batch-trailing scalarized) generic solver must reproduce the
+    AoS generic path's solutions at f64 on the double integrator: same LM
+    loop, same spectral clamp (closed-form 2x2 vs eigh), iterates differ
+    only by reassociation of the small matrix algebra."""
+    from ilqr_iterative_tasks_tpu.ops.generic_ilqr_soa import (
+        build_generic_ilqr_soa)
+
+    n, m, N = 4, 2, 10
+    cfg = _cfg(n, m)
+    rng = np.random.default_rng(7)
+    b = 16
+    x0 = jnp.zeros((n, b), DTYPE)
+    xts = jnp.asarray(rng.uniform(-4, 4, (n, b)), DTYPE)
+    u_init = jnp.zeros((N, m, b), DTYPE)
+    solve = build_generic_ilqr_soa(
+        double_integrator.step_comps, n=n, m=m,
+        matrix_Q=np.zeros((n, n)), matrix_R=0.05 * np.eye(m),
+        matrix_Qterminal=20.0 * np.eye(n),
+        u_lower=-2.0 * np.ones(m), u_upper=2.0 * np.ones(m), dt=0.5,
+        num_horizon=N)
+    soa = solve(x0, xts, u_init, 1.0)
+    aos = jax.vmap(
+        lambda xt: generic_ilqr_solve(double_integrator.step, cfg,
+                                      jnp.zeros(n, DTYPE), xt,
+                                      jnp.zeros((N, m), DTYPE), 1.0, 0.5)
+    )(xts.T)
+    np.testing.assert_allclose(np.asarray(soa.cost),
+                               np.asarray(aos.cost), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(soa.us),
+                               np.moveaxis(np.asarray(aos.us), 0, -1),
+                               atol=1e-8)
+
+
+def test_generic_soa_unicycle_reach():
+    """Nonlinear 3-state system through the SoA path (jvp Jacobians on
+    component tuples): reaches the target like the AoS path."""
+    from ilqr_iterative_tasks_tpu.ops.generic_ilqr_soa import (
+        build_generic_ilqr_soa)
+
+    n, m, N = 3, 2, 8
+    b = 8
+    solve = build_generic_ilqr_soa(
+        unicycle.step_comps, n=n, m=m,
+        matrix_Q=np.zeros((n, n)), matrix_R=0.01 * np.eye(m),
+        matrix_Qterminal=30.0 * np.eye(n),
+        u_lower=-1.5 * np.ones(m), u_upper=1.5 * np.ones(m), dt=0.5,
+        num_horizon=N)
+    x0 = jnp.zeros((n, b), DTYPE)
+    xt = jnp.broadcast_to(jnp.asarray([2.0, 1.0, 0.5], DTYPE)[:, None],
+                          (n, b))
+    sol = solve(x0, xt, 0.1 * jnp.ones((N, m, b), DTYPE), 1.0)
+    err = np.linalg.norm(np.asarray(sol.xs[-1] - xt), axis=0)
+    assert err.max() < 0.05, err
+
+
+def test_generic_soa_bicycle_matches_generic_aos():
+    """Feeding the bicycle's own component step through the GENERIC SoA
+    solver must reproduce the generic AoS path's solutions at f64 (same
+    quadratic-reach cost structure; the PARITY solver differs by its
+    control barrier terms, so the apples-to-apples oracle is the generic
+    AoS path on the same cost)."""
+    from ilqr_iterative_tasks_tpu.ops.generic_ilqr_soa import (
+        build_generic_ilqr_soa)
+    from ilqr_iterative_tasks_tpu.ops.ilqr_soa import step_soa
+    from ilqr_iterative_tasks_tpu.utils.params import (IlqrParams,
+                                                       SystemLimits)
+
+    params = IlqrParams.make(dtype=DTYPE)
+    limits = SystemLimits.make(dtype=DTYPE)
+    rng = np.random.default_rng(11)
+    b = 16
+    x0 = jnp.broadcast_to(jnp.asarray([0, 0, 1.0, 0], DTYPE)[:, None],
+                          (4, b))
+    xts = jnp.asarray(
+        np.asarray([3.0, 0.2, 1.0, 0.0])[:, None]
+        + 0.5 * rng.normal(size=(4, b)), DTYPE)
+    u_init = jnp.zeros((6, 2, b), DTYPE)
+    qt = np.asarray(params.matrix_Qterminal, np.float64)
+    lo = [-float(limits.a_max), -float(limits.delta_max_r)]
+    hi = [float(limits.a_max), float(limits.delta_max_r)]
+    solve = build_generic_ilqr_soa(
+        step_soa, n=4, m=2,
+        matrix_Q=np.asarray(params.matrix_Q, np.float64),
+        matrix_R=np.asarray(params.matrix_R, np.float64),
+        matrix_Qterminal=qt,
+        u_lower=lo, u_upper=hi, dt=1.0, num_horizon=6)
+    gen = solve(x0, xts, u_init, float(np.asarray(params.lamb)))
+    cfg = GenericIlqrConfig.make(
+        matrix_Q=jnp.asarray(params.matrix_Q, DTYPE),
+        matrix_R=jnp.asarray(params.matrix_R, DTYPE),
+        matrix_Qterminal=jnp.asarray(qt, DTYPE),
+        u_lower=jnp.asarray(lo, DTYPE), u_upper=jnp.asarray(hi, DTYPE),
+        dtype=DTYPE)
+    aos = jax.vmap(
+        lambda xt: generic_ilqr_solve(kinetic_bicycle.step, cfg,
+                                      jnp.asarray([0, 0, 1.0, 0], DTYPE),
+                                      xt, jnp.zeros((6, 2), DTYPE),
+                                      float(np.asarray(params.lamb)), 1.0)
+    )(xts.T)
+    # the default reference costs make this an exact-reach problem (Q = 0,
+    # R = 0): both converged costs are ~0 and both terminal states land on
+    # the target — compare absolutely
+    np.testing.assert_allclose(np.asarray(gen.cost),
+                               np.asarray(aos.cost), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gen.xs[-1]),
+                               np.asarray(aos.xs[:, -1]).T, atol=1e-5)
+
+
+def test_generic_parallel_backward_converges_like_sequential():
+    """backward="parallel" (associative-scan Riccati, ops/parallel_riccati)
+    must reach the target like the sequential path. The regularization
+    differs (control Tikhonov vs eig clamp), so iterates are not identical;
+    both converge to the same exact-reach optimum (cost ~ 0)."""
+    cfg = _cfg(4, 2)
+    x0 = jnp.zeros(4, DTYPE)
+    x_term = jnp.asarray([5.0, 3.0, 0.0, 0.0], DTYPE)
+    u_init = jnp.zeros((32, 2), DTYPE)
+    seq = generic_ilqr_solve(double_integrator.step, cfg, x0, x_term, u_init,
+                             1.0, 0.25, "sequential")
+    par = generic_ilqr_solve(double_integrator.step, cfg, x0, x_term, u_init,
+                             1.0, 0.25, "parallel")
+    err_seq = float(jnp.linalg.norm(seq.xs[-1] - x_term))
+    err_par = float(jnp.linalg.norm(par.xs[-1] - x_term))
+    assert err_seq < 0.05 and err_par < 0.05, (err_seq, err_par)
+    assert float(par.cost) <= float(seq.cost) * 1.5 + 1e-6
