@@ -117,19 +117,19 @@ def main():
     if on_tpu and n_batch % (8 * 128) == 0:
         from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
             build_fused_nlmpc_step)
-        # zeros_skip: lanes whose warm start already converged (f < 1e-14)
-        # skip the zeros multi-start. NOT bitwise — gated by the behavior
-        # envelope (tests/test_behavior_envelope.py, docs/PARITY.md);
-        # +4.7% measured (106.7k vs 101.9k lap-sims/s).
         # qsort_skip: candidates solved in per-lane Q-ascending order with a
         # running-best dominance skip — after the first feasible candidate
         # the remaining positions are all-skip tiles. BITWISE-neutral for
-        # nsi=1 (tests/test_pallas_nlmpc_step.py); +2.54x measured
-        # (270.4k vs 106.5k lap-sims/s at B=32768).
+        # nsi=1 (tests/test_pallas_nlmpc_step.py); +2.54x measured.
+        # zeros_skip was RETIRED in round 4: under the exact per-lane
+        # horizon-shrink semantics the multi-start tie-flip can change
+        # whether a lane enters the near-goal shrink cascade, and the
+        # behavior-envelope gate rejects it (completion -5.9 pp at the gate
+        # config — tests/test_behavior_envelope.py, docs/PARITY.md).
         n_kw["pallas_step_solver"] = build_fused_nlmpc_step(
             n_params, limits, 1.0, num_horizon=n_params.num_horizon,
             max_steps=max_steps, max_laps=8, max_iters=12, tile_rows=8,
-            zeros_skip=True, qsort_skip=True)
+            qsort_skip=True)
 
     def run_nlmpc(seed):
         res = simulate_nlmpc_runs_soa(
@@ -138,7 +138,9 @@ def main():
         jax.block_until_ready(res)
         return res
 
-    run_nlmpc(0)  # compile + warm
+    n_res = run_nlmpc(0)  # compile + warm
+    nlmpc_done = float(np.asarray(n_res.lap_done,
+                                  dtype=np.float32).mean())
     n_times = []
     for rep in range(1, 3):
         t0 = time.perf_counter()
@@ -175,6 +177,12 @@ def main():
             "seconds_per_batch": round(best, 3),
             "nlmpc_lap_sims_per_s": round(nlmpc_rate, 1),
             "nlmpc_batch": n_batch,
+            # < 1.0 under noise is the REFERENCE's own near-goal behavior,
+            # surfaced by the exact horizon-shrink semantics: the shrunk
+            # h1 reach test (1e-3) is noise-unsatisfiable, the reference
+            # pauses forever there (base.py:607-609), we hold the input
+            # and the lap times out (host-verified — docs/PERF.md)
+            "nlmpc_lap_completion_rate": round(nlmpc_done, 4),
             **rob,
         },
     }))

@@ -466,8 +466,15 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
             obstacle_to_lanes_nlmpc)
         obs_l = obstacle_to_lanes_nlmpc(obstacle, b)
-        lap_ids, lap_ok, skip = _step_solver_inputs(
-            lap_count, nsi, max_laps, inactive, b)
+        if all_iter:
+            # every stored lap is a window row (base.py:564-567)
+            lap_ids = jnp.arange(max_laps, dtype=jnp.int32)
+            lap_ok = (lap_ids < lap_count).astype(jnp.int32)
+            skip = (inactive.astype(jnp.float32) if inactive is not None
+                    else jnp.zeros((b,), jnp.float32))
+        else:
+            lap_ids, lap_ok, skip = _step_solver_inputs(
+                lap_count, nsi, max_laps, inactive, b)
         extra = {}
         if mode == "timeVarying":
             slot_ids = jnp.arange(max_laps)
@@ -485,7 +492,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         # (identical math to the general path's u_app loop)
         oh_w = t_idx[:, None] == jnp.clip(idx_sel, 0, max_steps - 1)[None, :]
         u_app = [jnp.zeros((b,), dtype) for _ in range(2)]
-        for off in range(nsi):
+        for off in range(lap_ids.shape[0]):
             inp = inputs[lap_ids[off]]  # (T, 2, B)
             sel_off = row_sel == off
             for c in range(2):

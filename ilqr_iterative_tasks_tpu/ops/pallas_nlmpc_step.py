@@ -59,6 +59,8 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                            zeros_skip: bool = False,
                            qsort_skip: bool = False,
                            mode: str = "spaceVarying",
+                           all_iter: bool = False,
+                           stream_safe_set: bool = False,
                            interpret: bool = False):
     """Factory: returns
     fn(x (4,B), guess (4,B), u_warm (n,2,B), states (max_laps,T,4,B),
@@ -76,8 +78,27 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     index = lap_cost - min_cost + N + t, k consecutive entries, validity
     0 < idx < lap_len (a per-lane suffix — the ragged -inf emulation
     requires prefix-valid rows), falling back to the lap's last point when
-    no entry is valid. Everything downstream of extraction (m-masked
-    solves, h1 reach check, selection, guess advance) is mode-invariant.
+    no entry is valid;
+    "all" = EVERY stored point of each lap row is a candidate
+    (base.py:569-571): per lap row the kernel solves all max_steps
+    positions in one fori_loop (invalid rows enter the LM loop pre-done,
+    so the padded tail past the lap length costs iteration-zero exits),
+    maintains the running lexicographic-best row's full cost list in two
+    (T, tile) scratches (real costs + ragged -inf comparison values), and
+    re-solves the per-lane winner (``store_solutions=False`` is required —
+    T*L solution storage cannot fit VMEM). ``all_iter=True`` widens the
+    lap window from the last nsi laps to EVERY stored lap
+    (base.py:564-567; lap_ids/lap_ok then carry max_laps rows) and
+    requires ``stream_safe_set``.
+    Everything downstream of extraction (m-masked solves, h1 reach check,
+    selection, guess advance) is mode-invariant.
+
+    ``stream_safe_set``: the safe set and Qfun stay HBM-resident and each
+    lap row's (T, 4/1, tile) slice is DMA'd into one reused VMEM scratch
+    per (row, tile) — VMEM cost independent of the lap-window size (the
+    same trade as ops/pallas_i2lqr_step.py; required for the
+    max_laps-row ``all_iter`` window, whose double-buffered blocks would
+    need ~40 MB).
 
     ``store_solutions=False``: candidate solves write only their cost; the
     per-lane WINNER is re-solved once after selection (a pure function of
@@ -115,10 +136,26 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     if n < 2:
         raise ValueError("horizon-1 is a pure reach check handled by the "
                          "controller (nonlinear_lmpc.py:199-213)")
-    if mode not in ("spaceVarying", "timeVarying"):
-        raise ValueError(f"unsupported step-kernel mode {mode!r} (the "
-                         "'all' option runs on the XLA general path)")
+    if mode not in ("spaceVarying", "timeVarying", "all"):
+        raise ValueError(f"unsupported step-kernel mode {mode!r}")
     time_varying = mode == "timeVarying"
+    all_mode = mode == "all"
+    if all_mode and store_solutions:
+        raise ValueError("mode='all' requires store_solutions=False "
+                         "(T*L candidate solutions cannot fit VMEM; the "
+                         "winner is re-solved)")
+    if all_mode and qsort_skip:
+        raise ValueError("qsort_skip is not defined for mode='all' (the "
+                         "lexicographic row comparison needs every "
+                         "position's cost)")
+    if all_iter and not all_mode:
+        raise ValueError("all_iter widens the lap window of mode='all'")
+    if all_iter and not stream_safe_set:
+        raise ValueError("all_iter needs stream_safe_set=True (a "
+                         "max_laps-row block window overflows VMEM)")
+    if stream_safe_set and not all_mode:
+        raise ValueError("stream_safe_set is currently built for "
+                         "mode='all' (other modes fit their nsi blocks)")
     k = int(params.num_ss_points)
     nsi = int(params.num_ss_iter)
     if qsort_skip and nsi != 1:
@@ -131,11 +168,17 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     shp = (tile_rows, 128)
     nc = nsi * k
 
+    n_offs = max_laps if all_iter else nsi
+
     def kernel(s_ref, *refs):
         it_refs = iter(refs)
         nxt_ref = lambda: next(it_refs)
-        st_refs = [nxt_ref() for _ in range(nsi)]
-        qf_refs = [nxt_ref() for _ in range(nsi)]
+        if stream_safe_set:
+            st_hbm, qf_hbm, lane0_ref = nxt_ref(), nxt_ref(), nxt_ref()
+            st_refs = qf_refs = None
+        else:
+            st_refs = [nxt_ref() for _ in range(n_offs)]
+            qf_refs = [nxt_ref() for _ in range(n_offs)]
         ll_ref = nxt_ref()
         x_ref, g_ref, uw_ref, obs_ref, skip_ref = (
             nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref())
@@ -145,11 +188,39 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
         us_ref, fe_ref, ng_ref, idx_ref, row_ref, succ_ref = (
             nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref(),
             nxt_ref())
-        cand_xt, cand_q, cand_ok, cand_idx = (
-            nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref())
-        if store_solutions:
-            sol_us = nxt_ref()
-        cost_sc = nxt_ref()
+        if all_mode:
+            cost_cur, cost_best, cmp_best = (nxt_ref(), nxt_ref(),
+                                             nxt_ref())
+        else:
+            cand_xt, cand_q, cand_ok, cand_idx = (
+                nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref())
+            if store_solutions:
+                sol_us = nxt_ref()
+            cost_sc = nxt_ref()
+        if stream_safe_set:
+            st_vmem, qf_vmem, dma_sem = nxt_ref(), nxt_ref(), nxt_ref()
+
+        def load_lap(off):
+            """(st components, qf) for lap row ``off`` as (T, tile) arrays.
+
+            Streaming mode DMAs the lap's lane slice from the HBM-resident
+            safe set into ONE reused VMEM scratch (ops/pallas_i2lqr_step.py
+            machinery); block mode reads the double-buffered input block."""
+            if stream_safe_set:
+                lane0 = pl.multiple_of(lane0_ref[0], tile)
+                cp_st = pltpu.make_async_copy(
+                    st_hbm.at[s_ref[off], :, :, pl.ds(lane0, tile)],
+                    st_vmem, dma_sem.at[0])
+                cp_qf = pltpu.make_async_copy(
+                    qf_hbm.at[s_ref[off], :, pl.ds(lane0, tile)],
+                    qf_vmem, dma_sem.at[1])
+                cp_st.start()
+                cp_qf.start()
+                cp_st.wait()
+                cp_qf.wait()
+                return [st_vmem[:, c, :] for c in range(4)], qf_vmem[...]
+            return ([st_refs[off][0, :, c, :] for c in range(4)],
+                    qf_refs[off][0])
 
         skip_f = skip_ref[...].reshape(shp)
         m2 = jnp.clip(hzn_ref[...].reshape(shp), 2, n)  # (shp) i32
@@ -190,12 +261,12 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                            <= 1e-3).astype(jnp.float32)
                 return jnp.where(h1, reach_f, feasible_f)
 
-            # --- candidate extraction per safe-set lap row ---
-            for off in range(nsi):
-                st = [st_refs[off][0, :, c, :] for c in range(4)]  # (T, tile)
-                qf = qf_refs[off][0]  # (T, tile)
+            # --- candidate extraction per safe-set lap row (kNN and
+            # window modes; mode='all' iterates positions directly below) ---
+            for off in range(0 if all_mode else nsi):
+                st, qf = load_lap(off)  # (T, tile) components
                 ll = ll_ref[s_ref[off]]  # (tile,) i32
-                lap_ok = s_ref[nsi + off] > 0
+                lap_ok = s_ref[n_offs + off] > 0
                 if time_varying:
                     # advancing index window (base.py:537-546): base index
                     # = lap_cost - min_cost + N + t (always > 0), entries
@@ -250,157 +321,98 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                         cand_ok[ci] = jnp.isfinite(dmin).astype(jnp.float32)
                         d = jnp.where(m, inf, d)
 
-            if qsort_skip:
-                # --- q-sorted candidate solves with dominance skip ---
-                # stable per-lane rank by (q, original slot); invalid
-                # candidates (q -> +inf) rank last
-                inf_t = jnp.full(shp, jnp.inf, jnp.float32)
-                qe = [jnp.where(cand_ok[j].reshape(shp) > 0.5,
-                                cand_q[j].reshape(shp), inf_t)
-                      for j in range(k)]
-                rank = []
-                for j in range(k):
-                    r = jnp.zeros(shp, jnp.int32)
-                    for i in range(k):
-                        if i == j:
-                            continue
-                        ahead = (qe[i] < qe[j]) | ((qe[i] == qe[j])
-                                                   & (i < j))
-                        r = r + ahead.astype(jnp.int32)
-                    rank.append(r)
-
-                def solve_pos(state):
-                    # alive is the tile-level early-termination flag (f32
-                    # scalar — Mosaic miscompiles i1 while carries)
-                    p, alive, best_cost, best_slot, best_pos = state
-                    sel = [rank[j] == p for j in range(k)]
-                    xt, q_p, ok_p = [], inf_t, jnp.zeros(shp, jnp.float32)
-                    slot_p = jnp.zeros(shp, jnp.int32)
-                    for c in range(4):
-                        v = jnp.zeros(shp, jnp.float32)
-                        for j in range(k):
-                            v = jnp.where(sel[j], cand_xt[j, c].reshape(shp),
-                                          v)
-                        xt.append(v)
-                    for j in range(k):
-                        q_p = jnp.where(sel[j], cand_q[j].reshape(shp), q_p)
-                        ok_p = jnp.where(sel[j], cand_ok[j].reshape(shp),
-                                         ok_p)
-                        slot_p = jnp.where(sel[j], j, slot_p)
-                    q_eff = jnp.where(ok_p > 0.5, q_p, inf_t)
-                    # positions are q-ascending: once best is finite, this
-                    # and every later candidate has hzn + q >= best and can
-                    # only tie with a LARGER original slot (stable rank) —
-                    # pre-done is selection-invariant. Position 0 always
-                    # solves (the all-infeasible slot-0 fallback).
-                    lane_skip = (hzn_f + q_eff >= best_cost) & (p > 0)
-                    skip_all = jnp.maximum(skip_f,
-                                           lane_skip.astype(jnp.float32))
-                    us, _xs, _te, feasible = F.feasibility_solve(
-                        x0c, tuple(xt), obs, warm, skip_all, max_iters,
-                        num_starts, skip_converged_starts=zeros_skip)
-                    if store_solutions:
-                        for i in range(n):
-                            sol_us[p, i, 0] = us[i][0].reshape(tile)
-                            sol_us[p, i, 1] = us[i][1].reshape(tile)
-                    feas = feas_of(tuple(xt), feasible)
-                    cost = jnp.where((feas > 0.5) & (ok_p > 0.5)
-                                     & ~lane_skip, hzn_f + q_p, inf)
-                    upd = cost < best_cost  # ties keep the earlier position
-                    # tile-level early termination: lane_skip is MONOTONE in
-                    # position (q ascends per lane; a skipped position never
-                    # lowers the running best), so once every ACTIVE lane is
-                    # skipped at p, every later position is too — stop
-                    # paying the per-position body for the tail. Sim-skip
-                    # lanes must not hold the loop open.
-                    alive_nxt = jnp.max(
-                        (1.0 - skip_f) * (1.0 - lane_skip.astype(jnp.float32)))
-                    return (p + 1, alive_nxt,
-                            jnp.where(upd, cost, best_cost),
-                            jnp.where(upd, slot_p, best_slot),
-                            jnp.where(upd, p, best_pos))
-
-                # all-infeasible fallback = original slot 0 (its position is
-                # solved then: skip requires a FINITE best)
-                _p_fin, _a_fin, best_cost, best_slot, best_pos = \
-                    jax.lax.while_loop(
-                        lambda s: (s[0] < k) & (s[1] > 0.5),
-                        solve_pos,
-                        (jnp.int32(0), jnp.float32(1.0), inf_t,
-                         jnp.zeros(shp, jnp.int32), rank[0]))
+            if all_mode:
+                # --- mode='all': every stored point of each lap row is a
+                # candidate (base.py:569-571). Per row: solve all T
+                # positions in one fori_loop (positions past the lap length
+                # enter the LM loop pre-done), then fold the row into the
+                # running lexicographic best via the ragged -inf comparison
+                # lists kept in (T, tile) scratch. ---
                 best_row = jnp.zeros(shp, jnp.int32)
-                best_col = best_slot
-                ci_sel = best_slot
-                store_sel = best_pos  # solutions are stored by POSITION
-            else:
-                # --- solve all candidates (one while_loop instance) ---
-                def solve_ci(ci, _):
-                    xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
-                    us, _xs, _te, feasible = F.feasibility_solve(
-                        x0c, xt, obs, warm, skip_f, max_iters, num_starts,
-                        skip_converged_starts=zeros_skip)
-                    if store_solutions:
-                        for i in range(n):
-                            sol_us[ci, i, 0] = us[i][0].reshape(tile)
-                            sol_us[ci, i, 1] = us[i][1].reshape(tile)
-                    q = cand_q[ci].reshape(shp)
-                    okc = cand_ok[ci].reshape(shp) > 0.5
-                    feas = feas_of(xt, feasible)
-                    cost = jnp.where((feas > 0.5) & okc, hzn_f + q, inf)
-                    cost_sc[ci] = cost.reshape(tile)
-                    return 0
+                idx_sel = jnp.zeros(shp, jnp.int32)
+                len_sel = jnp.zeros(shp, jnp.int32)
+                for off in range(n_offs):
+                    st, qf = load_lap(off)
+                    ll = ll_ref[s_ref[off]]  # (tile,) i32
+                    lap_ok = s_ref[n_offs + off] > 0
 
-                jax.lax.fori_loop(0, nc, solve_ci, 0)
+                    def solve_t(tt, _, st=st, qf=qf, ll=ll, lap_ok=lap_ok):
+                        xt = tuple(jax.lax.dynamic_index_in_dim(
+                            st[c], tt, 0, keepdims=False).reshape(shp)
+                            for c in range(4))
+                        qv = jax.lax.dynamic_index_in_dim(
+                            qf, tt, 0, keepdims=False).reshape(shp)
+                        ok_f = ((tt < ll) & lap_ok).astype(
+                            jnp.float32).reshape(shp)
+                        done0 = jnp.maximum(skip_f, 1.0 - ok_f)
+                        _us, _xs, _te, feasible = F.feasibility_solve(
+                            x0c, xt, obs, warm, done0, max_iters,
+                            num_starts, skip_converged_starts=zeros_skip)
+                        feas = feas_of(xt, feasible)
+                        cost = jnp.where((feas > 0.5) & (ok_f > 0.5),
+                                         hzn_f + qv, inf)
+                        cost_cur[tt] = cost.reshape(tile)
+                        return 0
 
-                # --- lexicographic row-min + argmin over k (base.py:605-611;
-                # ragged list-min: absent slots rank -inf in the comparison
-                # copy, mirroring the simulator's rows_cmp; shared helper) ---
-                rows = [[cost_sc[off * k + kk].reshape(shp)
-                         for kk in range(k)] for off in range(nsi)]
-                cmp_rows = []
-                for off in range(nsi):
-                    lap_ok_s = s_ref[nsi + off] > 0
-                    crow = []
-                    for kk in range(k):
-                        okf = cand_ok[off * k + kk].reshape(shp) > 0.5
-                        c = jnp.where(okf, rows[off][kk], -inf)
-                        crow.append(jnp.where(lap_ok_s, c, inf))
-                    cmp_rows.append(crow)
-                best_row, best_col, best_cost = lex_argmin_tile(
-                    rows, shp, cmp_rows=cmp_rows)
-                ci_sel = best_row * k + best_col
-                store_sel = ci_sel
-            idx_sel = jnp.zeros(shp, jnp.int32)
-            len_sel = jnp.zeros(shp, jnp.int32)
-            xt_sel = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
-            if store_solutions:
-                us_sel = [jnp.zeros(shp, jnp.float32) for _ in range(2 * n)]
-                for ci in range(nc):
-                    sel = ci_sel == ci
-                    s_sel = store_sel == ci
-                    for i in range(n):
-                        us_sel[2 * i] = jnp.where(
-                            s_sel, sol_us[ci, i, 0].reshape(shp),
-                            us_sel[2 * i])
-                        us_sel[2 * i + 1] = jnp.where(
-                            s_sel, sol_us[ci, i, 1].reshape(shp),
-                            us_sel[2 * i + 1])
-                    idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
-                                        idx_sel)
+                    jax.lax.fori_loop(0, t_rows, solve_t, 0)
+                    cur_v = cost_cur[...]  # (T, tile)
+                    struct = t_iota < ll[None, :]
+                    cmp_cur = jnp.where(struct, cur_v, -inf)
+                    cmp_cur = jnp.where(lap_ok, cmp_cur, inf)
+                    if off == 0:
+                        cost_best[...] = cur_v
+                        cmp_best[...] = cmp_cur
+                        len_sel = jnp.broadcast_to(ll.reshape(shp), shp)
+                    else:
+                        bb = cmp_best[...]
+                        any_diff = jnp.zeros((tile,), jnp.float32)
+                        a_first = jnp.zeros((tile,), jnp.float32)
+                        b_first = jnp.zeros((tile,), jnp.float32)
+                        for tt in range(t_rows - 1, -1, -1):
+                            diff = cmp_cur[tt] != bb[tt]
+                            any_diff = jnp.maximum(
+                                any_diff, diff.astype(jnp.float32))
+                            a_first = jnp.where(diff, cmp_cur[tt], a_first)
+                            b_first = jnp.where(diff, bb[tt], b_first)
+                        less = (any_diff > 0.5) & (a_first < b_first)
+                        best_row = jnp.where(less.reshape(shp), off,
+                                             best_row)
+                        len_sel = jnp.where(less.reshape(shp),
+                                            ll.reshape(shp), len_sel)
+                        lm = less[None, :]
+                        cost_best[...] = jnp.where(lm, cur_v, cost_best[...])
+                        cmp_best[...] = jnp.where(lm, cmp_cur,
+                                                  cmp_best[...])
+                # first-min argmin over the winning row's REAL cost list
+                bc = cost_best[...]
+                best_cost_f = jnp.full((tile,), jnp.inf, jnp.float32)
+                best_idx = jnp.zeros((tile,), jnp.int32)
+                for tt in range(t_rows):
+                    better = bc[tt] < best_cost_f
+                    best_cost_f = jnp.where(better, bc[tt], best_cost_f)
+                    best_idx = jnp.where(better, tt, best_idx)
+                idx_sel = best_idx.reshape(shp)
+                best_cost = best_cost_f.reshape(shp)
+                # second pass: winner terminal + successor extraction
+                xt_sel = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
+                x_succ = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
+                for off in range(n_offs):
+                    st, _qf = load_lap(off)
+                    ll = ll_ref[s_ref[off]]
+                    sel_off = best_row == off
+                    oh_w = t_iota == best_idx[None, :]
+                    nxt_off = jnp.clip(best_idx + 1, 0, ll - 1)
+                    oh_s = t_iota == nxt_off[None, :]
                     for c in range(4):
                         xt_sel[c] = jnp.where(
-                            sel, cand_xt[ci, c].reshape(shp), xt_sel[c])
-            else:
-                # re-solve the per-lane winner (identical pure solve of the
-                # same extracted terminal state and warm start — bitwise
-                # the stored solution)
-                for ci in range(nc):
-                    sel = ci_sel == ci
-                    for c in range(4):
-                        xt_sel[c] = jnp.where(
-                            sel, cand_xt[ci, c].reshape(shp), xt_sel[c])
-                    idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
-                                        idx_sel)
+                            sel_off,
+                            jnp.sum(jnp.where(oh_w, st[c], 0.0),
+                                    axis=0).reshape(shp), xt_sel[c])
+                        x_succ[c] = jnp.where(
+                            sel_off,
+                            jnp.sum(jnp.where(oh_s, st[c], 0.0),
+                                    axis=0).reshape(shp), x_succ[c])
+                # winner re-solve (store_solutions=False is required)
                 us_w, _xs_w, _te_w, _fe_w = F.feasibility_solve(
                     x0c, tuple(xt_sel), obs, warm, skip_f, max_iters,
                     num_starts, skip_converged_starts=zeros_skip)
@@ -408,9 +420,169 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                 for i in range(n):
                     us_sel.append(us_w[i][0])
                     us_sel.append(us_w[i][1])
-            for off in range(nsi):
-                len_sel = jnp.where(best_row == off,
-                                    ll_ref[s_ref[off]].reshape(shp), len_sel)
+            else:
+                if qsort_skip:
+                    # --- q-sorted candidate solves with dominance skip ---
+                    # stable per-lane rank by (q, original slot); invalid
+                    # candidates (q -> +inf) rank last
+                    inf_t = jnp.full(shp, jnp.inf, jnp.float32)
+                    qe = [jnp.where(cand_ok[j].reshape(shp) > 0.5,
+                                    cand_q[j].reshape(shp), inf_t)
+                          for j in range(k)]
+                    rank = []
+                    for j in range(k):
+                        r = jnp.zeros(shp, jnp.int32)
+                        for i in range(k):
+                            if i == j:
+                                continue
+                            ahead = (qe[i] < qe[j]) | ((qe[i] == qe[j])
+                                                       & (i < j))
+                            r = r + ahead.astype(jnp.int32)
+                        rank.append(r)
+
+                    def solve_pos(state):
+                        # alive is the tile-level early-termination flag (f32
+                        # scalar — Mosaic miscompiles i1 while carries)
+                        p, alive, best_cost, best_slot, best_pos = state
+                        sel = [rank[j] == p for j in range(k)]
+                        xt, q_p, ok_p = [], inf_t, jnp.zeros(shp, jnp.float32)
+                        slot_p = jnp.zeros(shp, jnp.int32)
+                        for c in range(4):
+                            v = jnp.zeros(shp, jnp.float32)
+                            for j in range(k):
+                                v = jnp.where(sel[j], cand_xt[j, c].reshape(shp),
+                                              v)
+                            xt.append(v)
+                        for j in range(k):
+                            q_p = jnp.where(sel[j], cand_q[j].reshape(shp), q_p)
+                            ok_p = jnp.where(sel[j], cand_ok[j].reshape(shp),
+                                             ok_p)
+                            slot_p = jnp.where(sel[j], j, slot_p)
+                        q_eff = jnp.where(ok_p > 0.5, q_p, inf_t)
+                        # positions are q-ascending: once best is finite, this
+                        # and every later candidate has hzn + q >= best and can
+                        # only tie with a LARGER original slot (stable rank) —
+                        # pre-done is selection-invariant. Position 0 always
+                        # solves (the all-infeasible slot-0 fallback).
+                        lane_skip = (hzn_f + q_eff >= best_cost) & (p > 0)
+                        skip_all = jnp.maximum(skip_f,
+                                               lane_skip.astype(jnp.float32))
+                        us, _xs, _te, feasible = F.feasibility_solve(
+                            x0c, tuple(xt), obs, warm, skip_all, max_iters,
+                            num_starts, skip_converged_starts=zeros_skip)
+                        if store_solutions:
+                            for i in range(n):
+                                sol_us[p, i, 0] = us[i][0].reshape(tile)
+                                sol_us[p, i, 1] = us[i][1].reshape(tile)
+                        feas = feas_of(tuple(xt), feasible)
+                        cost = jnp.where((feas > 0.5) & (ok_p > 0.5)
+                                         & ~lane_skip, hzn_f + q_p, inf)
+                        upd = cost < best_cost  # ties keep the earlier position
+                        # tile-level early termination: lane_skip is MONOTONE in
+                        # position (q ascends per lane; a skipped position never
+                        # lowers the running best), so once every ACTIVE lane is
+                        # skipped at p, every later position is too — stop
+                        # paying the per-position body for the tail. Sim-skip
+                        # lanes must not hold the loop open.
+                        alive_nxt = jnp.max(
+                            (1.0 - skip_f) * (1.0 - lane_skip.astype(jnp.float32)))
+                        return (p + 1, alive_nxt,
+                                jnp.where(upd, cost, best_cost),
+                                jnp.where(upd, slot_p, best_slot),
+                                jnp.where(upd, p, best_pos))
+
+                    # all-infeasible fallback = original slot 0 (its position is
+                    # solved then: skip requires a FINITE best)
+                    _p_fin, _a_fin, best_cost, best_slot, best_pos = \
+                        jax.lax.while_loop(
+                            lambda s: (s[0] < k) & (s[1] > 0.5),
+                            solve_pos,
+                            (jnp.int32(0), jnp.float32(1.0), inf_t,
+                             jnp.zeros(shp, jnp.int32), rank[0]))
+                    best_row = jnp.zeros(shp, jnp.int32)
+                    best_col = best_slot
+                    ci_sel = best_slot
+                    store_sel = best_pos  # solutions are stored by POSITION
+                else:
+                    # --- solve all candidates (one while_loop instance) ---
+                    def solve_ci(ci, _):
+                        xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
+                        us, _xs, _te, feasible = F.feasibility_solve(
+                            x0c, xt, obs, warm, skip_f, max_iters, num_starts,
+                            skip_converged_starts=zeros_skip)
+                        if store_solutions:
+                            for i in range(n):
+                                sol_us[ci, i, 0] = us[i][0].reshape(tile)
+                                sol_us[ci, i, 1] = us[i][1].reshape(tile)
+                        q = cand_q[ci].reshape(shp)
+                        okc = cand_ok[ci].reshape(shp) > 0.5
+                        feas = feas_of(xt, feasible)
+                        cost = jnp.where((feas > 0.5) & okc, hzn_f + q, inf)
+                        cost_sc[ci] = cost.reshape(tile)
+                        return 0
+
+                    jax.lax.fori_loop(0, nc, solve_ci, 0)
+
+                    # --- lexicographic row-min + argmin over k (base.py:605-611;
+                    # ragged list-min: absent slots rank -inf in the comparison
+                    # copy, mirroring the simulator's rows_cmp; shared helper) ---
+                    rows = [[cost_sc[off * k + kk].reshape(shp)
+                             for kk in range(k)] for off in range(nsi)]
+                    cmp_rows = []
+                    for off in range(nsi):
+                        lap_ok_s = s_ref[n_offs + off] > 0
+                        crow = []
+                        for kk in range(k):
+                            okf = cand_ok[off * k + kk].reshape(shp) > 0.5
+                            c = jnp.where(okf, rows[off][kk], -inf)
+                            crow.append(jnp.where(lap_ok_s, c, inf))
+                        cmp_rows.append(crow)
+                    best_row, best_col, best_cost = lex_argmin_tile(
+                        rows, shp, cmp_rows=cmp_rows)
+                    ci_sel = best_row * k + best_col
+                    store_sel = ci_sel
+                idx_sel = jnp.zeros(shp, jnp.int32)
+                len_sel = jnp.zeros(shp, jnp.int32)
+                xt_sel = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
+                if store_solutions:
+                    us_sel = [jnp.zeros(shp, jnp.float32) for _ in range(2 * n)]
+                    for ci in range(nc):
+                        sel = ci_sel == ci
+                        s_sel = store_sel == ci
+                        for i in range(n):
+                            us_sel[2 * i] = jnp.where(
+                                s_sel, sol_us[ci, i, 0].reshape(shp),
+                                us_sel[2 * i])
+                            us_sel[2 * i + 1] = jnp.where(
+                                s_sel, sol_us[ci, i, 1].reshape(shp),
+                                us_sel[2 * i + 1])
+                        idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
+                                            idx_sel)
+                        for c in range(4):
+                            xt_sel[c] = jnp.where(
+                                sel, cand_xt[ci, c].reshape(shp), xt_sel[c])
+                else:
+                    # re-solve the per-lane winner (identical pure solve of the
+                    # same extracted terminal state and warm start — bitwise
+                    # the stored solution)
+                    for ci in range(nc):
+                        sel = ci_sel == ci
+                        for c in range(4):
+                            xt_sel[c] = jnp.where(
+                                sel, cand_xt[ci, c].reshape(shp), xt_sel[c])
+                        idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
+                                            idx_sel)
+                    us_w, _xs_w, _te_w, _fe_w = F.feasibility_solve(
+                        x0c, tuple(xt_sel), obs, warm, skip_f, max_iters,
+                        num_starts, skip_converged_starts=zeros_skip)
+                    us_sel = []
+                    for i in range(n):
+                        us_sel.append(us_w[i][0])
+                        us_sel.append(us_w[i][1])
+                for off in range(nsi):
+                    len_sel = jnp.where(best_row == off,
+                                        ll_ref[s_ref[off]].reshape(shp),
+                                        len_sel)
             feasible_any = jnp.isfinite(best_cost).astype(jnp.float32)
             succ_m = (idx_sel + 1) <= (len_sel - 1)
 
@@ -426,17 +598,18 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
             x_pred = [jnp.where(h1, xt_sel[c], x_pred[c]) for c in range(4)]
             nxt = jnp.clip(idx_sel + 1, 0, len_sel - 1)  # (shp) i32
             nxt_flat = nxt.reshape(tile)
-            new_guess = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
-            for off in range(nsi):
-                st = [st_refs[off][0, :, c, :] for c in range(4)]
-                t_iota2 = jax.lax.broadcasted_iota(jnp.int32, (t_rows, tile),
-                                                   0)
-                m = t_iota2 == nxt_flat[None, :]
-                sel_off = best_row == off
-                for c in range(4):
-                    val = jnp.sum(jnp.where(m, st[c], 0.0),
-                                  axis=0).reshape(shp)
-                    new_guess[c] = jnp.where(sel_off, val, new_guess[c])
+            if all_mode:
+                new_guess = list(x_succ)  # extracted in the second pass
+            else:
+                new_guess = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
+                for off in range(nsi):
+                    st, _qf = load_lap(off)
+                    m = t_iota == nxt_flat[None, :]
+                    sel_off = best_row == off
+                    for c in range(4):
+                        val = jnp.sum(jnp.where(m, st[c], 0.0),
+                                      axis=0).reshape(shp)
+                        new_guess[c] = jnp.where(sel_off, val, new_guess[c])
             new_guess = [jnp.where(succ_m, new_guess[c], x_pred[c])
                          for c in range(4)]
 
@@ -467,11 +640,22 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
         def qf_map(off):
             return lambda i, s: (s[off], 0, i)
 
+        if stream_safe_set:
+            # pin the safe set to HBM (interpret mode has no memory spaces)
+            space = pl.ANY if interpret else pltpu.HBM
+            ss_specs = [pl.BlockSpec(memory_space=space),
+                        pl.BlockSpec(memory_space=space),
+                        pl.BlockSpec((tile,), lambda i, s: (i,))]
+            ss_args = [states, qfun, jnp.arange(b, dtype=jnp.int32)]
+        else:
+            ss_specs = (
+                [pl.BlockSpec((1, t_rows, 4, tile), st_map(off))
+                 for off in range(n_offs)]
+                + [pl.BlockSpec((1, t_rows, tile), qf_map(off))
+                   for off in range(n_offs)])
+            ss_args = [states] * n_offs + [qfun] * n_offs
         in_specs = (
-            [pl.BlockSpec((1, t_rows, 4, tile), st_map(off))
-             for off in range(nsi)]
-            + [pl.BlockSpec((1, t_rows, tile), qf_map(off))
-               for off in range(nsi)]
+            ss_specs
             + [pl.BlockSpec((max_laps, tile), lambda i, s: (0, i)),
                pl.BlockSpec((4, tile), lambda i, s: (0, i)),
                pl.BlockSpec((4, tile), lambda i, s: (0, i)),
@@ -482,6 +666,23 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
             + ([pl.BlockSpec((tile,), lambda i, s: (i,)),
                 pl.BlockSpec((tile,), lambda i, s: (i,))]
                if time_varying else []))
+        if all_mode:
+            mode_scratch = [
+                pltpu.VMEM((t_rows, tile), jnp.float32),    # cost_cur
+                pltpu.VMEM((t_rows, tile), jnp.float32),    # cost_best
+                pltpu.VMEM((t_rows, tile), jnp.float32),    # cmp_best
+            ]
+        else:
+            mode_scratch = [
+                pltpu.VMEM((nc, 4, tile), jnp.float32),     # cand_xt
+                pltpu.VMEM((nc, tile), jnp.float32),        # cand_q
+                pltpu.VMEM((nc, tile), jnp.float32),        # cand_ok
+                pltpu.VMEM((nc, tile), jnp.int32),          # cand_idx
+            ] + ([
+                pltpu.VMEM((nc, n, 2, tile), jnp.float32),  # sol_us
+            ] if store_solutions else []) + [
+                pltpu.VMEM((nc, tile), jnp.float32),        # cost_sc
+            ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -494,18 +695,13 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                 pl.BlockSpec((tile,), lambda i, s: (i,)),
                 pl.BlockSpec((tile,), lambda i, s: (i,)),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((nc, 4, tile), jnp.float32),     # cand_xt
-                pltpu.VMEM((nc, tile), jnp.float32),        # cand_q
-                pltpu.VMEM((nc, tile), jnp.float32),        # cand_ok
-                pltpu.VMEM((nc, tile), jnp.int32),          # cand_idx
-            ] + ([
-                pltpu.VMEM((nc, n, 2, tile), jnp.float32),  # sol_us
-            ] if store_solutions else []) + [
-                pltpu.VMEM((nc, tile), jnp.float32),        # cost_sc
-            ],
+            scratch_shapes=mode_scratch + ([
+                pltpu.VMEM((t_rows, 4, tile), jnp.float32),  # st_vmem
+                pltpu.VMEM((t_rows, tile), jnp.float32),     # qf_vmem
+                pltpu.SemaphoreType.DMA((2,)),               # dma_sem
+            ] if stream_safe_set else []),
         )
-        args = [sargs] + [states] * nsi + [qfun] * nsi \
+        args = [sargs] + ss_args \
             + [lap_len, x, guess, u_warm, obs_lanes, skip,
                hzn.astype(jnp.int32)]
         if time_varying:
@@ -545,5 +741,6 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     solve_api.zeros_skip = zeros_skip
     solve_api.qsort_skip = qsort_skip
     solve_api.mode = mode
-    solve_api.all_iter = False
+    solve_api.all_iter = all_iter
+    solve_api.stream_safe_set = stream_safe_set
     return solve_api

@@ -6,15 +6,13 @@ floating-point trajectories but must not change closed-loop BEHAVIOR. Each
 gated optimization gets one test here running the full learning sim with
 and without it over the same scenario batch and PRNG key.
 
-Currently gated:
-- NLMPC zeros-start skip (ops/_pallas_nlmpc_core.feasibility_solve
-  skip_converged_starts): when the warm-start solve already hits the global
-  LM convergence threshold f < 1e-14, the zeros multi-start is entered
-  pre-done. The fully-solved zeros start can land at a smaller residual and
-  flip the selected input sequence (reference multi-start semantics:
-  ops/lm_shooting.py:120-123); both winners satisfy the reference
-  feasibility test (nonlinear_lmpc.py:186-197), so the closed loop may
-  differ per lane but not in behavior.
+Gate history:
+- NLMPC zeros-start skip: envelope-VALID in round 3 (shortcut semantics),
+  envelope-REJECTED since round 4's exact per-lane horizon shrink (the
+  tie-flip now changes shrink-cascade entry) — retired from bench.py; the
+  rejection itself is pinned below.
+- i2LQR stall-reseed guard: must be behavior-neutral on NOMINAL scenarios
+  (its effect exists only on the randomized brittleness configs).
 """
 
 import jax
@@ -37,7 +35,17 @@ DT = jnp.float32
 
 
 @pytest.mark.slow
-def test_nlmpc_zeros_skip_within_envelope():
+def test_nlmpc_zeros_skip_rejected_by_envelope():
+    """zeros_skip was ENVELOPE-VALID in round 3 (shortcut semantics) and is
+    ENVELOPE-REJECTED since round 4's exact per-lane horizon shrink: a
+    multi-start tie broken the other way can change whether a lane enters
+    the near-goal shrink cascade (whose h1 reach test is
+    noise-unsatisfiable, the reference's pause-forever state), so the
+    "equally valid solution" argument no longer holds — measured
+    completion drops ~6 pp at this gate config. The optimization is
+    therefore retired from bench.py; this test pins BOTH facts: the gate
+    rejects it, and the perturbation is still non-trivial (so the flag
+    still does something — if it ever becomes a no-op, revisit)."""
     params = LmpcParams.make(ss_option="spaceVarying")
     limits = SystemLimits.make(dtype=DT)
     xcl, ucl = seed_trajectory(1.0)
@@ -59,10 +67,10 @@ def test_nlmpc_zeros_skip_within_envelope():
         runs.append(simulate_nlmpc_runs_soa(
             params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
             pallas_step_solver=solver, **kw))
-    rec = assert_behavior_envelope(runs[0], runs[1])
-    # the skip must actually be non-trivial on this config (guards against
-    # the gate silently passing because the flag stopped doing anything)
-    assert rec["frac_lanes_changed"] > 0.0
+    rec = compare_runs(runs[0], runs[1])
+    assert rec["frac_lanes_changed"] > 0.0  # the flag still perturbs
+    with pytest.raises(AssertionError):
+        assert_behavior_envelope(runs[0], runs[1])
 
 
 def test_envelope_helper_rejects_material_drift():

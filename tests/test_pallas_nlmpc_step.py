@@ -201,10 +201,53 @@ def test_nlmpc_step_kernel_time_varying_bitwise():
     _assert_bitwise(composed, fused)
 
 
-def test_nlmpc_step_kernel_rejects_all_mode():
+def test_nlmpc_step_kernel_rejects_unknown_mode():
     params, limits, *_ = _setup()
-    with pytest.raises(ValueError, match="all"):
+    with pytest.raises(ValueError, match="mode"):
         build_fused_nlmpc_step(params, limits, 1.0,
                                num_horizon=params.num_horizon, max_steps=128,
                                max_laps=8, max_iters=8, tile_rows=1,
-                               mode="all", interpret=True)
+                               mode="bogus", interpret=True)
+
+
+@pytest.mark.slow
+def test_nlmpc_step_kernel_all_mode_bitwise():
+    """mode="all" + all_ss_iter (every stored point of every lap,
+    base.py:564-571) fused in-kernel: per-row position sweeps with the
+    running lexicographic-best cost list in (T, tile) scratch, HBM-streamed
+    safe set, winner re-solve. Must reproduce the composed route (general
+    XLA glue + per-candidate kernel) bitwise. One learning lap (the 'all'
+    candidate sweep is T*L solves per step — the heaviest regime)."""
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup(
+        all_ss_point=True, all_ss_iter=True)
+    b = 128
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=1, max_steps=128, max_laps=4, max_lm_iters=8,
+              sim_step_budget=45)
+    key = jax.random.PRNGKey(37)
+    composed_solver = build_fused_lm_shooting(
+        limits, 1.0, num_horizon=params.num_horizon, max_iters=8,
+        tile_rows=1, interpret=True, with_skip=True, with_hzn=True)
+    composed = simulate_nlmpc_runs_soa(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+        pallas_solver=composed_solver, **kw)
+    step_solver = build_fused_nlmpc_step(
+        params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
+        max_laps=4, max_iters=8, tile_rows=1, mode="all", all_iter=True,
+        stream_safe_set=True, store_solutions=False, interpret=True)
+    fused = simulate_nlmpc_runs_soa(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+        pallas_step_solver=step_solver, **kw)
+    _assert_bitwise(composed, fused)
+
+
+def test_nlmpc_step_kernel_all_mode_builder_guards():
+    params, limits, *_ = _setup(all_ss_point=True)
+    kw = dict(num_horizon=6, max_steps=128, max_laps=4, max_iters=8,
+              tile_rows=1, interpret=True)
+    with pytest.raises(ValueError, match="store_solutions"):
+        build_fused_nlmpc_step(params, limits, 1.0, mode="all", **kw)
+    with pytest.raises(ValueError, match="stream_safe_set"):
+        build_fused_nlmpc_step(params, limits, 1.0, mode="all",
+                               all_iter=True, store_solutions=False, **kw)
