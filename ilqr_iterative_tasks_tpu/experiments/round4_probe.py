@@ -10,6 +10,16 @@ line; run them individually so a failure doesn't lose the session:
   python -m ilqr_iterative_tasks_tpu.experiments.round4_probe canary
       randomized moving-obstacle completion at k8/nsi1 with
       stall_reseed in {None, 3, 5} (robustness guard measurement).
+  python -m ilqr_iterative_tasks_tpu.experiments.round4_probe nlmpc_modes
+      step-kernel-backed NLMPC learning-run throughput for the
+      timeVarying / all / all+all_iter safe-set options (spaceVarying is
+      bench.py's headline) — the docs/PERF.md per-mode table.
+  python -m ilqr_iterative_tasks_tpu.experiments.round4_probe cap
+      i2LQR headline throughput at LM caps 16 (headline) vs 14 vs 15 —
+      candidate knob for the next envelope-gated win.
+  python -m ilqr_iterative_tasks_tpu.experiments.round4_probe stall
+      i2LQR headline config with stall_reseed=3: does rescuing the 0.3%
+      budget-timeout tail also shorten the tile-hot window (throughput)?
 """
 
 from __future__ import annotations
@@ -121,6 +131,129 @@ def cmd_reuse():
     print(json.dumps(out), flush=True)
 
 
+def _run_kw(params, limits, scs, seed_xs, seed_us, batch, max_iter,
+            stall_reseed=None, **solver_kw):
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        simulate_learning_runs_soa)
+    from ilqr_iterative_tasks_tpu.ops.pallas_i2lqr_step import (
+        build_fused_i2lqr_step)
+
+    solver = build_fused_i2lqr_step(
+        params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
+        max_laps=8, max_iter=max_iter, tile_rows=8, **solver_kw)
+    kw = dict(num_laps=3, max_steps=128, max_laps=8,
+              solver_max_iter=max_iter, pallas_step_solver=solver,
+              stall_reseed=stall_reseed)
+
+    def go(seed):
+        res = simulate_learning_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0,
+            jax.random.PRNGKey(seed), **kw)
+        jax.block_until_ready(res)
+        return res
+
+    go(0)
+    res = go(0)
+    times = []
+    for rep in (1, 2):
+        t0 = time.perf_counter()
+        go(rep)
+        times.append(time.perf_counter() - t0)
+    return res, min(times)
+
+
+def _summ(res, batch, best):
+    return {"lap_sims_per_s": round(batch * 3 / best, 1),
+            "completion": round(float(np.asarray(res.lap_done).mean()), 4),
+            "mean_lap_steps": [round(float(v), 2) for v in np.asarray(
+                res.lap_steps, np.float64).mean(-1)]}
+
+
+def cmd_cap():
+    batch = 49152
+    params, limits, seed_xs, seed_us, scs = _setup(batch)
+    out = {"probe": "i2lqr_cap_ladder", "batch": batch}
+    for cap in (16, 15, 14):
+        res, best = _run_kw(params, limits, scs, seed_xs, seed_us, batch,
+                            cap, dedup=True, qsort_skip=True)
+        out[f"cap{cap}"] = _summ(res, batch, best)
+    print(json.dumps(out), flush=True)
+
+
+def cmd_stall():
+    batch = 49152
+    params, limits, seed_xs, seed_us, scs = _setup(batch)
+    out = {"probe": "i2lqr_stall_reseed_headline", "batch": batch}
+    for tag, sr in (("base", None), ("sr3", 3)):
+        res, best = _run_kw(params, limits, scs, seed_xs, seed_us, batch,
+                            16, stall_reseed=sr, dedup=True, qsort_skip=True)
+        out[tag] = _summ(res, batch, best)
+    print(json.dumps(out), flush=True)
+
+
+def cmd_nlmpc_modes():
+    from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
+        simulate_nlmpc_runs_soa)
+    from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+    from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
+        build_fused_nlmpc_step)
+    from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+    from ilqr_iterative_tasks_tpu.utils.params import (LmpcParams,
+                                                       SystemLimits)
+    from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
+
+    dtype = jnp.float32
+    limits = SystemLimits.make(dtype=dtype)
+    xcl, ucl = seed_trajectory(1.0)
+    seed_xs = jnp.zeros((128, 4), dtype).at[:121].set(jnp.asarray(xcl, dtype))
+    seed_us = jnp.zeros((128, 2), dtype).at[:120].set(jnp.asarray(ucl, dtype))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
+    batch = 8192
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, batch,
+                                 noise_on=True, dtype=dtype)
+    configs = {
+        "timeVarying": (dict(ss_option="timeVarying"),
+                        dict(mode="timeVarying")),
+        "all": (dict(all_ss_point=True),
+                dict(mode="all", store_solutions=False,
+                     stream_safe_set=True)),
+        "all_ss_iter": (dict(all_ss_point=True, all_ss_iter=True),
+                        dict(mode="all", all_iter=True,
+                             store_solutions=False, stream_safe_set=True)),
+    }
+    sel = sys.argv[2:]  # optional tag filter, e.g. "all all_ss_iter"
+    out = {"probe": "nlmpc_step_kernel_modes", "batch": batch}
+    for tag, (pkw, skw) in configs.items():
+        if sel and tag not in sel:
+            continue
+        params = LmpcParams.make(dtype=dtype, **pkw)
+        solver = build_fused_nlmpc_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=8, max_iters=12, tile_rows=8, **skw)
+        kw = dict(num_laps=3, max_steps=128, max_laps=8, max_lm_iters=12,
+                  pallas_step_solver=solver)
+
+        def go(seed):
+            res = simulate_nlmpc_runs_soa(
+                params, limits, scs, seed_xs, seed_us, 121, 1.0,
+                jax.random.PRNGKey(seed), **kw)
+            jax.block_until_ready(res)
+            return res
+
+        t0 = time.time()
+        res = go(0)
+        compile_s = time.time() - t0
+        times = []
+        for rep in (1, 2):
+            t0 = time.perf_counter()
+            go(rep)
+            times.append(time.perf_counter() - t0)
+        out[tag] = {**_summ(res, batch, min(times)),
+                    "compile_s": round(compile_s, 1)}
+        print(json.dumps({tag: out[tag]}), flush=True)
+    print(json.dumps(out), flush=True)
+
+
 def cmd_canary():
     from ilqr_iterative_tasks_tpu.experiments.scenario_sweep import run_sweep
     rows = {}
@@ -133,5 +266,6 @@ def cmd_canary():
 
 
 if __name__ == "__main__":
-    {"stats": cmd_stats, "reuse": cmd_reuse,
-     "canary": cmd_canary}[sys.argv[1]]()
+    {"stats": cmd_stats, "reuse": cmd_reuse, "canary": cmd_canary,
+     "nlmpc_modes": cmd_nlmpc_modes, "cap": cmd_cap,
+     "stall": cmd_stall}[sys.argv[1]]()

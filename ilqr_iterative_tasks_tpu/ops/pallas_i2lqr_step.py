@@ -119,8 +119,16 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
     streams through its own candidates. Solver decisions are unchanged.
     Composes with ``qsort_skip``: useful/executed then count only the
     positions the early-terminated q-sorted loop actually runs (that is the
-    point — they measure the realized skip), while ``queue_floor`` reads 0
-    (the work-queue alternative was sized against the unsorted schedule).
+    point — they measure the realized skip), and ``queue_floor`` reports the
+    Q-SORTED work-queue floor: per relaxation pass, max over the tile's
+    lanes of (the lane's own useful iterations at the positions it visits
+    + 1 arrival trip per visited position, where a lane visits a position
+    iff it is neither sim-skipped nor dominated there) — the predicted
+    lockstep trip count of a persistent per-lane candidate queue walking
+    the same q-ascending order with the same per-lane dominance skip.
+    (Round 3 measured the UNSORTED queue floor at 1.18x and rejected the
+    rewrite; qsort changed the work distribution, so the floor is
+    re-instrumented at the new operating point.)
 
     ``dom_skip`` (requires num_ss_iter == 1): cost-dominance candidate skip.
     The relaxed reach cost is bounded below by q + n + 100 (i_rel >= 1,
@@ -531,7 +539,6 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                     return (best_sf, upass)
 
                 if qsort_skip:
-                    upass_fin = jnp.float32(0)
                     # stable per-lane rank by (q, original slot); invalid
                     # candidates (q -> +inf) rank last. nsi == 1: the only
                     # lap row is slots [0, k).
@@ -552,7 +559,11 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                         # flat (tile,) carries; alive is the tile-level
                         # early-termination flag (f32 scalar — Mosaic
                         # miscompiles i1 while carries)
-                        p, alive, best_cost, best_slot, best_pos = state
+                        if with_stats:
+                            (p, alive, best_cost, best_slot, best_pos,
+                             upass_q) = state
+                        else:
+                            p, alive, best_cost, best_slot, best_pos = state
                         sel = [rank[j] == p for j in range(k)]
                         xt_f = []
                         for c in range(4):
@@ -618,8 +629,16 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                             dup2 = dup.reshape(shp) > 0.5
                             done0 = jnp.maximum(done0, dup.reshape(shp))
                         xt_s = tuple(xt_f[c].reshape(shp) for c in range(4))
-                        us, xs, _cost_s, dist, _u = do_solve(
+                        us, xs, _cost_s, dist, useful_s = do_solve(
                             xt_s, done0, zeros_ui)
+                        if with_stats:
+                            # q-sorted work-queue floor: a lane VISITS this
+                            # position iff neither sim-skipped nor dominated
+                            # (dup lanes still pay their 1 arrival trip)
+                            arr = ((1.0 - skip_f.reshape(tile))
+                                   * (1.0 - dom_f))
+                            upass_q = (upass_q + useful_s.reshape(tile)
+                                       + arr)
                         if dedup:
                             dist = jnp.where(dup2, sub_d.reshape(shp), dist)
                         if store_solutions:
@@ -686,18 +705,25 @@ def build_fused_i2lqr_step(params: IlqrParams, limits: SystemLimits, dt,
                         # tail. Sim-skip lanes must not hold the loop open.
                         alive_nxt = jnp.max((1.0 - skip_f)
                                             * (1.0 - dom_f.reshape(shp)))
-                        return (p + 1, alive_nxt,
-                                jnp.where(upd, cost_f, best_cost),
-                                jnp.where(upd, slot_p, best_slot),
-                                jnp.where(upd, p, best_pos))
+                        out_state = (p + 1, alive_nxt,
+                                     jnp.where(upd, cost_f, best_cost),
+                                     jnp.where(upd, slot_p, best_slot),
+                                     jnp.where(upd, p, best_pos))
+                        if with_stats:
+                            out_state = out_state + (upass_q,)
+                        return out_state
 
-                    _p_fin, _a_fin, best_cost_q, best_slot_q, best_pos_q = \
-                        jax.lax.while_loop(
-                            lambda s: (s[0] < nc) & (s[1] > 0.5),
-                            solve_pos,
-                            (jnp.int32(0), jnp.float32(1.0),
-                             jnp.full((tile,), inf),
-                             jnp.zeros((tile,), jnp.int32), rank[0]))
+                    init_q = (jnp.int32(0), jnp.float32(1.0),
+                              jnp.full((tile,), inf),
+                              jnp.zeros((tile,), jnp.int32), rank[0])
+                    if with_stats:
+                        init_q = init_q + (jnp.zeros((tile,), jnp.float32),)
+                    fin_q = jax.lax.while_loop(
+                        lambda s: (s[0] < nc) & (s[1] > 0.5),
+                        solve_pos, init_q)
+                    best_cost_q, best_slot_q, best_pos_q = fin_q[2:5]
+                    upass_fin = (fin_q[5].reshape(shp) if with_stats
+                                 else jnp.float32(0))
                     best_row = jnp.zeros(shp, jnp.int32)
                     best_col = best_slot_q.reshape(shp)
                     ci_sel = best_col

@@ -150,9 +150,12 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                          "position's cost)")
     if all_iter and not all_mode:
         raise ValueError("all_iter widens the lap window of mode='all'")
-    if all_iter and not stream_safe_set:
-        raise ValueError("all_iter needs stream_safe_set=True (a "
-                         "max_laps-row block window overflows VMEM)")
+    if all_mode and not stream_safe_set:
+        raise ValueError("mode='all' needs stream_safe_set=True (the "
+                         "per-position loop reads candidate rows via "
+                         "dynamic leading-index loads on the streamed VMEM "
+                         "scratch; for all_iter the max_laps-row block "
+                         "window would also overflow VMEM)")
     if stream_safe_set and not all_mode:
         raise ValueError("stream_safe_set is currently built for "
                          "mode='all' (other modes fit their nsi blocks)")
@@ -332,16 +335,19 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                 idx_sel = jnp.zeros(shp, jnp.int32)
                 len_sel = jnp.zeros(shp, jnp.int32)
                 for off in range(n_offs):
-                    st, qf = load_lap(off)
+                    load_lap(off)  # DMA the row into st_vmem / qf_vmem
                     ll = ll_ref[s_ref[off]]  # (tile,) i32
                     lap_ok = s_ref[n_offs + off] > 0
 
-                    def solve_t(tt, _, st=st, qf=qf, ll=ll, lap_ok=lap_ok):
-                        xt = tuple(jax.lax.dynamic_index_in_dim(
-                            st[c], tt, 0, keepdims=False).reshape(shp)
-                            for c in range(4))
-                        qv = jax.lax.dynamic_index_in_dim(
-                            qf, tt, 0, keepdims=False).reshape(shp)
+                    def solve_t(tt, _, ll=ll, lap_ok=lap_ok):
+                        # dynamic LEADING-index loads on the VMEM scratch
+                        # refs (Mosaic lowers these; dynamic_index_in_dim on
+                        # a materialized (T, tile) VALUE does not — it
+                        # raised 'Unimplemented: dynamic_slice' on hardware)
+                        st_row = st_vmem[pl.ds(tt, 1)]  # (1, 4, tile)
+                        xt = tuple(st_row[0, c].reshape(shp)
+                                   for c in range(4))
+                        qv = qf_vmem[pl.ds(tt, 1)][0].reshape(shp)
                         ok_f = ((tt < ll) & lap_ok).astype(
                             jnp.float32).reshape(shp)
                         done0 = jnp.maximum(skip_f, 1.0 - ok_f)
