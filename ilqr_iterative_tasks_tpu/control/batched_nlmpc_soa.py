@@ -274,6 +274,11 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                 obs_l[:, None, :], (7, big_k, b)).reshape(7, big_k * b)
             skip_b = (inactive.astype(jnp.float32) if inactive is not None
                       else jnp.zeros((b,), jnp.float32))
+            # h1 lanes never consume a solve output (reach-check feasibility,
+            # u_sel = u_warm[0], succ warm slot 0 = stored input, guess from
+            # xt) — entering their solves pre-done is exact. Mirrors the
+            # step kernel's solve_skip_f.
+            skip_b = jnp.maximum(skip_b, h1.astype(jnp.float32))
             skip_kb = jnp.broadcast_to(skip_b[None, :],
                                        (big_k, b)).reshape(big_k * b)
             hzn_kb = jnp.broadcast_to(m2[None, :],

@@ -104,7 +104,8 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
 
 def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
               noise_on: bool = True, pallas: bool = False,
-              tile_rows: int = 64, step: bool = False):
+              tile_rows: int = 64, step: bool = False,
+              ss_option: str = "spaceVarying", qsort: bool = False):
     from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
     from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
         simulate_nlmpc_runs_soa)
@@ -114,7 +115,7 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.float32
-    params = LmpcParams.make(ss_option="spaceVarying")
+    params = LmpcParams.make(ss_option=ss_option)
     limits = SystemLimits.make(dtype=dtype)
     xcl, ucl = seed_trajectory(1.0)
     max_steps = 128
@@ -131,10 +132,21 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
     if step:
         from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
             build_fused_nlmpc_step)
+        step_kw = {}
+        if ss_option == "all":
+            # mode='all' streams the HBM-resident safe set and re-solves
+            # the winner (store_solutions is incompatible with the
+            # per-row position loop); qsort_skip is undefined there.
+            step_kw = dict(mode="all", stream_safe_set=True,
+                           store_solutions=False)
+        elif ss_option == "timeVarying":
+            step_kw = dict(mode="timeVarying", qsort_skip=qsort)
+        else:
+            step_kw = dict(qsort_skip=qsort)
         kw["pallas_step_solver"] = build_fused_nlmpc_step(
             params, limits, 1.0, num_horizon=params.num_horizon,
             max_steps=max_steps, max_laps=8, max_iters=max_lm_iters,
-            tile_rows=8, interpret=not on_tpu)
+            tile_rows=8, interpret=not on_tpu, **step_kw)
         backend = "pallas_step"
     elif pallas:
         from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
@@ -160,7 +172,7 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
                                     axis=-1)]
     print(json.dumps({
         "controller": "nlmpc", "batch": batch, "max_lm_iters": max_lm_iters,
-        "solver_backend": backend,
+        "solver_backend": backend, "ss_option": ss_option, "qsort": qsort,
         "lap_sims_per_s": round(batch * num_laps / dt_s, 1),
         "seconds": round(dt_s, 2), "compile_s": round(compile_s, 1),
         "completion": round(done, 4),
@@ -176,18 +188,31 @@ if __name__ == "__main__":
     dedup = "--dedup" in argv
     step = "--step" in argv
     stats = "--stats" in argv
+    qsort = "--qsort" in argv
+    nonoise = "--nonoise" in argv
+    ss_option = "spaceVarying"
+    for a in argv:
+        if a.startswith("--ss-option="):
+            ss_option = {"space": "spaceVarying", "time": "timeVarying",
+                         "all": "all"}.get(a.split("=", 1)[1],
+                                           a.split("=", 1)[1])
     argv = [a for a in argv
             if a not in ("--nlmpc", "--pallas", "--dedup", "--step",
-                         "--stats")]
+                         "--stats", "--qsort", "--nonoise")
+            and not a.startswith("--ss-option=")]
     for arg in argv or (["8192"] if nlmpc else ["65536"]):
         if nlmpc:
             if ":" in arg:
                 parts = arg.split(":")
                 run_nlmpc(int(parts[0]), max_lm_iters=int(parts[1]),
                           pallas=pallas, step=step,
-                          tile_rows=int(parts[2]) if len(parts) > 2 else 64)
+                          tile_rows=int(parts[2]) if len(parts) > 2 else 64,
+                          ss_option=ss_option, qsort=qsort,
+                          noise_on=not nonoise)
             else:
-                run_nlmpc(int(arg), pallas=pallas, step=step, tile_rows=64)
+                run_nlmpc(int(arg), pallas=pallas, step=step, tile_rows=64,
+                          ss_option=ss_option, qsort=qsort,
+                          noise_on=not nonoise)
         elif ":" in arg:
             parts = arg.split(":")
             run(int(parts[0]), tile_rows=int(parts[1]),

@@ -229,6 +229,17 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
         m2 = jnp.clip(hzn_ref[...].reshape(shp), 2, n)  # (shp) i32
         hzn_f = hzn_ref[...].reshape(shp).astype(jnp.float32)
         h1 = hzn_ref[...].reshape(shp) <= 1
+        # h1 lanes never consume a solve output: feasibility is the pure
+        # reach check, the applied input is the raw warm input
+        # (_advance_tail: u_sel = u_warm[0]), the succ warm-update writes
+        # only slot 0 = the STORED input, and the guess advance uses
+        # xt_sel — so entering every solve pre-done for h1 lanes is
+        # bitwise-exact. This is the noise-tail fix: shrink-cascade
+        # stragglers sit at h=1 running the 121-step budget, and without
+        # the skip each paid k full (discarded) max_iters LM solves per
+        # step, keeping every straggler tile at worst-case cost
+        # (docs/PERF.md "The NLMPC noise tail").
+        solve_skip_f = jnp.maximum(skip_f, h1.astype(jnp.float32))
         F = make_nlmpc_tile_funcs(consts, n, shp, mm=m2)
         us_ref[...] = jnp.zeros((n, 2, tile), jnp.float32)
         fe_ref[...] = jnp.zeros((tile,), jnp.float32)
@@ -350,7 +361,7 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                         qv = qf_vmem[pl.ds(tt, 1)][0].reshape(shp)
                         ok_f = ((tt < ll) & lap_ok).astype(
                             jnp.float32).reshape(shp)
-                        done0 = jnp.maximum(skip_f, 1.0 - ok_f)
+                        done0 = jnp.maximum(solve_skip_f, 1.0 - ok_f)
                         _us, _xs, _te, feasible = F.feasibility_solve(
                             x0c, xt, obs, warm, done0, max_iters,
                             num_starts, skip_converged_starts=zeros_skip)
@@ -420,7 +431,7 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                                     axis=0).reshape(shp), x_succ[c])
                 # winner re-solve (store_solutions=False is required)
                 us_w, _xs_w, _te_w, _fe_w = F.feasibility_solve(
-                    x0c, tuple(xt_sel), obs, warm, skip_f, max_iters,
+                    x0c, tuple(xt_sel), obs, warm, solve_skip_f, max_iters,
                     num_starts, skip_converged_starts=zeros_skip)
                 us_sel = []
                 for i in range(n):
@@ -471,7 +482,7 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                         # pre-done is selection-invariant. Position 0 always
                         # solves (the all-infeasible slot-0 fallback).
                         lane_skip = (hzn_f + q_eff >= best_cost) & (p > 0)
-                        skip_all = jnp.maximum(skip_f,
+                        skip_all = jnp.maximum(solve_skip_f,
                                                lane_skip.astype(jnp.float32))
                         us, _xs, _te, feasible = F.feasibility_solve(
                             x0c, tuple(xt), obs, warm, skip_all, max_iters,
@@ -514,8 +525,8 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                     def solve_ci(ci, _):
                         xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
                         us, _xs, _te, feasible = F.feasibility_solve(
-                            x0c, xt, obs, warm, skip_f, max_iters, num_starts,
-                            skip_converged_starts=zeros_skip)
+                            x0c, xt, obs, warm, solve_skip_f, max_iters,
+                            num_starts, skip_converged_starts=zeros_skip)
                         if store_solutions:
                             for i in range(n):
                                 sol_us[ci, i, 0] = us[i][0].reshape(tile)
@@ -579,8 +590,9 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                         idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
                                             idx_sel)
                     us_w, _xs_w, _te_w, _fe_w = F.feasibility_solve(
-                        x0c, tuple(xt_sel), obs, warm, skip_f, max_iters,
-                        num_starts, skip_converged_starts=zeros_skip)
+                        x0c, tuple(xt_sel), obs, warm, solve_skip_f,
+                        max_iters, num_starts,
+                        skip_converged_starts=zeros_skip)
                     us_sel = []
                     for i in range(n):
                         us_sel.append(us_w[i][0])
