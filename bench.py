@@ -112,8 +112,17 @@ def main():
                                     noise_on=True, dtype=dtype)
     # Lockstep LM cap 12: behavior-neutral vs cap 60 (mean lap steps within
     # 0.02, completion 1.0 — docs/PERF.md ladder; cap 8 starts drifting).
+    # infeasible_retire=8: a lane retires from the SOLVER after 8
+    # consecutive all-infeasible steps (the plant keeps integrating the
+    # held-input creep, so records/completion stay exact unless the lane
+    # would have regained feasibility later — measured: recovered streaks
+    # are <=2 for all but ~0.03% of lane-laps, and the lap-step record is
+    # IDENTICAL at this config; envelope-gated in
+    # tests/test_batched_nlmpc_soa.py). Attacks the reference's own noise
+    # tail: ~5% of lanes end laps in an unrecoverable all-infeasible creep
+    # to the 121-step budget (docs/PERF.md "The NLMPC noise tail").
     n_kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
-                max_lm_iters=12)
+                max_lm_iters=12, infeasible_retire=8)
     if on_tpu and n_batch % (8 * 128) == 0:
         from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
             build_fused_nlmpc_step)

@@ -73,12 +73,17 @@ class NlmpcSoaRunResult(NamedTuple):
     safe_set: tuple = ()  # (states, inputs, qfun, valid, lap_len)
     lap_count: jnp.ndarray = None
     final_key: jnp.ndarray = None
+    # (recovered (L, B), terminal (L, B)) all-infeasible streak maxima,
+    # present only under with_streak_stats=True (see infeasible_retire)
+    streaks: tuple = ()
 
 
 @partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
                                    "goal_append", "sim_step_budget",
                                    "max_lm_iters", "pallas_solver",
-                                   "pallas_step_solver"))
+                                   "pallas_step_solver",
+                                   "infeasible_retire",
+                                   "with_streak_stats"))
 def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             scenarios: SoaScenarios, seed_xs, seed_us,
                             seed_len, dt, key, *, num_laps: int,
@@ -88,6 +93,8 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             max_lm_iters: int = 60,
                             pallas_solver=None,
                             pallas_step_solver=None,
+                            infeasible_retire: int | None = None,
+                            with_streak_stats: bool = False,
                             resume_from=None) -> NlmpcSoaRunResult:
     """Seed + ``num_laps`` NLMPC learning laps for B scenarios, batch-trailing.
 
@@ -517,17 +524,44 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
 
         def step_body(c):
             (x, t, done, obstacle, guess, u_warm, hzn, u_prev, xs_rec,
-             us_rec, key) = c
+             us_rec, streak, retired, rec_max, key) = c
+            # ``infeasible_retire``: during an all-infeasible streak the
+            # applied input is u_prev and every solver-side state (guess,
+            # u_warm, hzn) is frozen (base.py:605-611) — the solves only
+            # matter as the binary "did any candidate become feasible
+            # again". After S consecutive all-infeasible steps the lane
+            # retires from the SOLVER ONLY: the plant keeps integrating
+            # (the held-input creep and the goal-reach check are exact),
+            # so the recorded lap, lap_steps and completion stay identical
+            # UNLESS the lane would have regained feasibility after >= S
+            # streak steps. NOT bitwise-safe — gated by the behavior
+            # envelope (tests/test_behavior_envelope.py); default OFF.
+            inact = done | retired
             if pallas_step_solver is not None:
                 (u_solve, feas, guess_new, u_warm_new,
                  hzn_new) = solve_step_kernel(ss, lap_count, x, guess,
                                               u_warm, t, hzn, obstacle,
-                                              inactive=done)
+                                              inactive=inact)
             else:
                 (u_solve, feas, guess_new, u_warm_new,
                  hzn_new) = solve_step_general(ss, lap_count, x, guess,
                                                u_warm, t, hzn, obstacle,
-                                               inactive=done)
+                                               inactive=inact)
+            # retired lanes: solver outputs are skip-lane garbage — hold
+            # the all-infeasible freeze explicitly
+            feas = feas & ~retired
+            guess_new = jnp.where(retired[None, :], guess, guess_new)
+            u_warm_new = jnp.where(retired[None, None, :], u_warm,
+                                   u_warm_new)
+            hzn_new = jnp.where(retired, hzn, hzn_new)
+            streak_next = jnp.where(done, streak,
+                                    jnp.where(feas, 0, streak + 1))
+            if with_streak_stats:
+                rec_max = jnp.where((~done) & feas & (streak > 0),
+                                    jnp.maximum(rec_max, streak), rec_max)
+            if infeasible_retire is not None:
+                retired = retired | ((streak_next >= infeasible_retire)
+                                     & ~done)
             u = jnp.where(feas[None, :], u_solve, u_prev)
             x_next = jnp.stack(step_soa(tuple(x[i] for i in range(4)),
                                         (u[0], u[1]), dt))
@@ -565,7 +599,8 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)
             return (x_next, t_next, done_next, obstacle_next, guess_next,
-                    u_warm_next, hzn_next, u_prev_next, xs_rec, us_rec, key)
+                    u_warm_next, hzn_next, u_prev_next, xs_rec, us_rec,
+                    streak_next, retired, rec_max, key)
 
         xs_rec = jnp.zeros((max_steps, 4, b), dtype).at[0].set(scenarios.x0)
         us_rec = jnp.zeros((max_steps, 2, b), dtype)
@@ -573,17 +608,20 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         init = (scenarios.x0, jnp.zeros((b,), jnp.int32),
                 jnp.zeros((b,), bool), scenarios.obstacle, guess0, u_warm0,
                 jnp.full((b,), n, jnp.int32),
-                jnp.zeros((2, b), dtype), xs_rec, us_rec, key)
-        (x, t, done, _obs, _g, _uw, _hz, _up, xs_rec, us_rec, key) = (
+                jnp.zeros((2, b), dtype), xs_rec, us_rec,
+                jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool),
+                jnp.zeros((b,), jnp.int32), key)
+        (x, t, done, _obs, _g, _uw, _hz, _up, xs_rec, us_rec, streak,
+         _ret, rec_max, key) = (
             jax.lax.while_loop(step_cond, step_body, init))
-        return xs_rec, us_rec, t, done, x, key
+        return xs_rec, us_rec, t, done, x, (rec_max, streak), key
 
     def _set_goal(xs_rec, pos, goal):
         onehot = (t_idx[:, None] == pos[None, :])
         return jnp.where(onehot[:, None, :], goal[None, :, :], xs_rec)
 
     def lap_loop(lap_i, carry):
-        ss, key, lap_steps, lap_done, final_x = carry
+        ss, key, lap_steps, lap_done, final_x, streak_rec = carry
         lap_count = lap_i + lap0  # laps stored so far (seed + learned)
         newest = lap_count - 1
         # per-lap warm start from the newest lap (base.py:661-675)
@@ -591,21 +629,28 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         in_new = jnp.take(ss[1], newest, axis=0)  # (T, 2, B)
         guess0 = st_new[n]  # (4, B)
         u_warm0 = in_new[:n]  # (N, 2, B)
-        xs_rec, us_rec, t, done, x_fin, key = run_lap(ss, lap_count, guess0,
-                                                      u_warm0, key)
+        xs_rec, us_rec, t, done, x_fin, streaks, key = run_lap(
+            ss, lap_count, guess0, u_warm0, key)
         if goal_append:
             pos, n_valid = t + 1, t + 2
         else:
             pos, n_valid = t, t + 1
         xs_rec = _set_goal(xs_rec, pos, scenarios.goal)
         ss = add_lap(ss, lap_count, xs_rec, us_rec, n_valid)
+        if with_streak_stats:
+            streak_rec = (streak_rec[0].at[lap_i].set(streaks[0]),
+                          streak_rec[1].at[lap_i].set(streaks[1]))
         return (ss, key, lap_steps.at[lap_i].set(t),
-                lap_done.at[lap_i].set(done), x_fin)
+                lap_done.at[lap_i].set(done), x_fin, streak_rec)
 
+    streak_rec0 = ((jnp.zeros((num_laps, b), jnp.int32),
+                    jnp.zeros((num_laps, b), jnp.int32))
+                   if with_streak_stats else ())
     init = (ss0, key, jnp.zeros((num_laps, b), jnp.int32),
-            jnp.zeros((num_laps, b), bool), scenarios.x0)
-    ss, key, lap_steps, lap_done, final_x = jax.lax.fori_loop(
+            jnp.zeros((num_laps, b), bool), scenarios.x0, streak_rec0)
+    ss, key, lap_steps, lap_done, final_x, streak_rec = jax.lax.fori_loop(
         0, num_laps, lap_loop, init)
     return NlmpcSoaRunResult(lap_steps=lap_steps, lap_done=lap_done,
                              final_x=final_x, safe_set=ss,
-                             lap_count=lap0 + num_laps, final_key=key)
+                             lap_count=lap0 + num_laps, final_key=key,
+                             streaks=streak_rec)
