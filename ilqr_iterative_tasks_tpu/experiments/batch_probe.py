@@ -105,7 +105,8 @@ def run(batch: int, num_laps: int = 3, solver_max_iter: int = 40,
 def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
               noise_on: bool = True, pallas: bool = False,
               tile_rows: int = 64, step: bool = False,
-              ss_option: str = "spaceVarying", qsort: bool = False):
+              ss_option: str = "spaceVarying", qsort: bool = False,
+              retire: int | None = None):
     from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
     from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
         simulate_nlmpc_runs_soa)
@@ -128,6 +129,8 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
                                        noise_on=noise_on, dtype=dtype)
     kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
               max_lm_iters=max_lm_iters)
+    if retire is not None:
+        kw["infeasible_retire"] = retire
     backend = "soa"
     if step:
         from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
@@ -173,6 +176,7 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
     print(json.dumps({
         "controller": "nlmpc", "batch": batch, "max_lm_iters": max_lm_iters,
         "solver_backend": backend, "ss_option": ss_option, "qsort": qsort,
+        "retire": retire,
         "lap_sims_per_s": round(batch * num_laps / dt_s, 1),
         "seconds": round(dt_s, 2), "compile_s": round(compile_s, 1),
         "completion": round(done, 4),
@@ -191,7 +195,10 @@ if __name__ == "__main__":
     qsort = "--qsort" in argv
     nonoise = "--nonoise" in argv
     ss_option = "spaceVarying"
+    retire = None
     for a in argv:
+        if a.startswith("--retire="):
+            retire = int(a.split("=", 1)[1])
         if a.startswith("--ss-option="):
             ss_option = {"space": "spaceVarying", "time": "timeVarying",
                          "all": "all"}.get(a.split("=", 1)[1],
@@ -199,7 +206,8 @@ if __name__ == "__main__":
     argv = [a for a in argv
             if a not in ("--nlmpc", "--pallas", "--dedup", "--step",
                          "--stats", "--qsort", "--nonoise")
-            and not a.startswith("--ss-option=")]
+            and not a.startswith("--ss-option=")
+            and not a.startswith("--retire=")]
     for arg in argv or (["8192"] if nlmpc else ["65536"]):
         if nlmpc:
             if ":" in arg:
@@ -208,11 +216,11 @@ if __name__ == "__main__":
                           pallas=pallas, step=step,
                           tile_rows=int(parts[2]) if len(parts) > 2 else 64,
                           ss_option=ss_option, qsort=qsort,
-                          noise_on=not nonoise)
+                          noise_on=not nonoise, retire=retire)
             else:
                 run_nlmpc(int(arg), pallas=pallas, step=step, tile_rows=64,
                           ss_option=ss_option, qsort=qsort,
-                          noise_on=not nonoise)
+                          noise_on=not nonoise, retire=retire)
         elif ":" in arg:
             parts = arg.split(":")
             run(int(parts[0]), tile_rows=int(parts[1]),

@@ -130,11 +130,27 @@ def bench_crossover(batch: int = 256):
         u_init = jnp.zeros((nh, 2), jnp.float32)
         times = {}
         for mode in ("sequential", "parallel"):
-            fn = jax.jit(jax.vmap(
+            solve_b = jax.vmap(
                 lambda xt: generic_ilqr_solve(
                     double_integrator.step, cfg, x0, xt, u_init, 1.0, 0.1,
-                    mode)))
-            times[mode] = _time(fn, xts)
+                    mode))
+            # chain K solves inside ONE jit: a single dispatch over the
+            # axon tunnel costs ~25 ms round-trip, which would swamp any
+            # per-solve number at small batch (docs/PERF.md latency notes).
+            # K=1 (plain dispatch) for large batch*N: the chained
+            # AoS/vmap program at batch=256, N=1024 faults the v5e device
+            # (the known large-AoS kernel-fault regime — docs/PERF.md)
+            K = 10 if batch * nh <= 65536 else 1
+
+            def chained(xts, _solve=solve_b):
+                def body(i, acc):
+                    out = _solve(xts + 0.0 * acc[:, None])
+                    return acc + out.cost
+                return jax.lax.fori_loop(
+                    0, K, body, jnp.zeros(xts.shape[0], xts.dtype))
+
+            fn = jax.jit(chained)
+            times[mode] = _time(fn, xts) / K
         rows[nh] = {m: round(v * 1e3, 2) for m, v in times.items()}
         rows[nh]["speedup"] = round(times["sequential"] / times["parallel"],
                                     2)
