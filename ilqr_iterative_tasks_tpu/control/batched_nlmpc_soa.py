@@ -76,6 +76,11 @@ class NlmpcSoaRunResult(NamedTuple):
     # (recovered (L, B), terminal (L, B)) all-infeasible streak maxima,
     # present only under with_streak_stats=True (see infeasible_retire)
     streaks: tuple = ()
+    # (useful (B,), executed (B,)) summed LM trip counters, present only
+    # when the step solver was built with with_stats=True — the
+    # straggler-waste accounting of docs/PERF.md (same convention as
+    # SoaRunResult.iter_stats)
+    iter_stats: tuple = ()
 
 
 @partial(jax.jit, static_argnames=("num_laps", "max_steps", "max_laps",
@@ -163,6 +168,8 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             raise ValueError(
                 f"pallas_step_solver was built with max_iters={s.max_iters}; "
                 f"the simulator's lockstep cap is max_lm_iters={max_lm_iters}")
+    kernel_stats = (pallas_step_solver is not None
+                    and getattr(pallas_step_solver, "with_stats", False))
     # record scatters write row t_next == sim_step_budget on the final step
     # of a budget-exhausted lane, and goal_append one row past that — require
     # room so no scatter ever goes out of bounds
@@ -493,10 +500,11 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             min_cost = jnp.min(jnp.where(slot_ids[:, None] < lap_count,
                                          lap_len - 1, 1 << 30), axis=0)
             extra = dict(t=t, min_cost=min_cost)
-        (us_w, feas_f, new_guess0, idx_sel, row_sel,
-         succ_f) = pallas_step_solver(
+        out = pallas_step_solver(
             x, guess, u_warm, states, qfun, lap_len, lap_ids, lap_ok,
             obs_l, skip, hzn, **extra)
+        (us_w, feas_f, new_guess0, idx_sel, row_sel, succ_f) = out[:6]
+        it_stats = out[6:8] if kernel_stats else ()
         feas = feas_f > 0.5
         succ = succ_f > 0.5
         h1 = hzn <= 1
@@ -515,7 +523,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         u_sel, new_guess, u_warm_new, hzn_next = _advance_tail(
             us_w, jnp.stack(u_app), new_guess0, succ, h1, hzn, feas,
             guess, u_warm)
-        return u_sel, feas, new_guess, u_warm_new, hzn_next
+        return u_sel, feas, new_guess, u_warm_new, hzn_next, it_stats
 
     def run_lap(ss, lap_count, guess0, u_warm0, key):
         def step_cond(c):
@@ -524,7 +532,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
 
         def step_body(c):
             (x, t, done, obstacle, guess, u_warm, hzn, u_prev, xs_rec,
-             us_rec, streak, retired, rec_max, key) = c
+             us_rec, streak, retired, rec_max, it_acc, key) = c
             # ``infeasible_retire``: during an all-infeasible streak the
             # applied input is u_prev and every solver-side state (guess,
             # u_warm, hzn) is frozen (base.py:605-611) — the solves only
@@ -538,10 +546,13 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             # envelope (tests/test_behavior_envelope.py); default OFF.
             inact = done | retired
             if pallas_step_solver is not None:
-                (u_solve, feas, guess_new, u_warm_new,
-                 hzn_new) = solve_step_kernel(ss, lap_count, x, guess,
-                                              u_warm, t, hzn, obstacle,
-                                              inactive=inact)
+                (u_solve, feas, guess_new, u_warm_new, hzn_new,
+                 it_stats) = solve_step_kernel(ss, lap_count, x, guess,
+                                               u_warm, t, hzn, obstacle,
+                                               inactive=inact)
+                if kernel_stats:
+                    it_acc = (it_acc[0] + it_stats[0],
+                              it_acc[1] + it_stats[1])
             else:
                 (u_solve, feas, guess_new, u_warm_new,
                  hzn_new) = solve_step_general(ss, lap_count, x, guess,
@@ -600,28 +611,30 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             done_next = done | ((~done) & reach)
             return (x_next, t_next, done_next, obstacle_next, guess_next,
                     u_warm_next, hzn_next, u_prev_next, xs_rec, us_rec,
-                    streak_next, retired, rec_max, key)
+                    streak_next, retired, rec_max, it_acc, key)
 
         xs_rec = jnp.zeros((max_steps, 4, b), dtype).at[0].set(scenarios.x0)
         us_rec = jnp.zeros((max_steps, 2, b), dtype)
+        it_acc0 = ((jnp.zeros((b,), jnp.float32),
+                    jnp.zeros((b,), jnp.float32)) if kernel_stats else ())
         # per-lap horizon reset (base.py:660: num_horizon = param horizon)
         init = (scenarios.x0, jnp.zeros((b,), jnp.int32),
                 jnp.zeros((b,), bool), scenarios.obstacle, guess0, u_warm0,
                 jnp.full((b,), n, jnp.int32),
                 jnp.zeros((2, b), dtype), xs_rec, us_rec,
                 jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool),
-                jnp.zeros((b,), jnp.int32), key)
+                jnp.zeros((b,), jnp.int32), it_acc0, key)
         (x, t, done, _obs, _g, _uw, _hz, _up, xs_rec, us_rec, streak,
-         _ret, rec_max, key) = (
+         _ret, rec_max, it_acc, key) = (
             jax.lax.while_loop(step_cond, step_body, init))
-        return xs_rec, us_rec, t, done, x, (rec_max, streak), key
+        return xs_rec, us_rec, t, done, x, (rec_max, streak), it_acc, key
 
     def _set_goal(xs_rec, pos, goal):
         onehot = (t_idx[:, None] == pos[None, :])
         return jnp.where(onehot[:, None, :], goal[None, :, :], xs_rec)
 
     def lap_loop(lap_i, carry):
-        ss, key, lap_steps, lap_done, final_x, streak_rec = carry
+        ss, key, lap_steps, lap_done, final_x, streak_rec, it_sum = carry
         lap_count = lap_i + lap0  # laps stored so far (seed + learned)
         newest = lap_count - 1
         # per-lap warm start from the newest lap (base.py:661-675)
@@ -629,8 +642,10 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         in_new = jnp.take(ss[1], newest, axis=0)  # (T, 2, B)
         guess0 = st_new[n]  # (4, B)
         u_warm0 = in_new[:n]  # (N, 2, B)
-        xs_rec, us_rec, t, done, x_fin, streaks, key = run_lap(
+        xs_rec, us_rec, t, done, x_fin, streaks, it_lap, key = run_lap(
             ss, lap_count, guess0, u_warm0, key)
+        if kernel_stats:
+            it_sum = (it_sum[0] + it_lap[0], it_sum[1] + it_lap[1])
         if goal_append:
             pos, n_valid = t + 1, t + 2
         else:
@@ -641,16 +656,19 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             streak_rec = (streak_rec[0].at[lap_i].set(streaks[0]),
                           streak_rec[1].at[lap_i].set(streaks[1]))
         return (ss, key, lap_steps.at[lap_i].set(t),
-                lap_done.at[lap_i].set(done), x_fin, streak_rec)
+                lap_done.at[lap_i].set(done), x_fin, streak_rec, it_sum)
 
     streak_rec0 = ((jnp.zeros((num_laps, b), jnp.int32),
                     jnp.zeros((num_laps, b), jnp.int32))
                    if with_streak_stats else ())
+    it_sum0 = ((jnp.zeros((b,), jnp.float32),
+                jnp.zeros((b,), jnp.float32)) if kernel_stats else ())
     init = (ss0, key, jnp.zeros((num_laps, b), jnp.int32),
-            jnp.zeros((num_laps, b), bool), scenarios.x0, streak_rec0)
-    ss, key, lap_steps, lap_done, final_x, streak_rec = jax.lax.fori_loop(
-        0, num_laps, lap_loop, init)
+            jnp.zeros((num_laps, b), bool), scenarios.x0, streak_rec0,
+            it_sum0)
+    (ss, key, lap_steps, lap_done, final_x, streak_rec,
+     it_sum) = jax.lax.fori_loop(0, num_laps, lap_loop, init)
     return NlmpcSoaRunResult(lap_steps=lap_steps, lap_done=lap_done,
                              final_x=final_x, safe_set=ss,
                              lap_count=lap0 + num_laps, final_key=key,
-                             streaks=streak_rec)
+                             streaks=streak_rec, iter_stats=it_sum)

@@ -106,7 +106,7 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
               noise_on: bool = True, pallas: bool = False,
               tile_rows: int = 64, step: bool = False,
               ss_option: str = "spaceVarying", qsort: bool = False,
-              retire: int | None = None):
+              retire: int | None = None, stats: bool = False):
     from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
     from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
         simulate_nlmpc_runs_soa)
@@ -149,7 +149,8 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
         kw["pallas_step_solver"] = build_fused_nlmpc_step(
             params, limits, 1.0, num_horizon=params.num_horizon,
             max_steps=max_steps, max_laps=8, max_iters=max_lm_iters,
-            tile_rows=8, interpret=not on_tpu, **step_kw)
+            tile_rows=8, interpret=not on_tpu, with_stats=stats,
+            **step_kw)
         backend = "pallas_step"
     elif pallas:
         from ilqr_iterative_tasks_tpu.ops.pallas_lm_shooting import (
@@ -173,14 +174,21 @@ def run_nlmpc(batch: int, num_laps: int = 3, max_lm_iters: int = 60,
     mean_steps = [round(float(v), 2)
                   for v in jnp.mean(out.lap_steps.astype(jnp.float32),
                                     axis=-1)]
-    print(json.dumps({
+    rec = {
         "controller": "nlmpc", "batch": batch, "max_lm_iters": max_lm_iters,
         "solver_backend": backend, "ss_option": ss_option, "qsort": qsort,
         "retire": retire,
         "lap_sims_per_s": round(batch * num_laps / dt_s, 1),
         "seconds": round(dt_s, 2), "compile_s": round(compile_s, 1),
         "completion": round(done, 4),
-        "mean_lap_steps": mean_steps}), flush=True)
+        "mean_lap_steps": mean_steps}
+    if stats and out.iter_stats:
+        useful, execd = (np.asarray(v) for v in out.iter_stats)
+        rec["useful_per_lane"] = round(float(useful.mean()), 1)
+        rec["executed_per_lane"] = round(float(execd.mean()), 1)
+        rec["straggler_waste"] = round(
+            1.0 - float(useful.sum()) / float(execd.sum()), 4)
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
@@ -216,11 +224,11 @@ if __name__ == "__main__":
                           pallas=pallas, step=step,
                           tile_rows=int(parts[2]) if len(parts) > 2 else 64,
                           ss_option=ss_option, qsort=qsort,
-                          noise_on=not nonoise, retire=retire)
+                          noise_on=not nonoise, retire=retire, stats=stats)
             else:
                 run_nlmpc(int(arg), pallas=pallas, step=step, tile_rows=64,
                           ss_option=ss_option, qsort=qsort,
-                          noise_on=not nonoise, retire=retire)
+                          noise_on=not nonoise, retire=retire, stats=stats)
         elif ":" in arg:
             parts = arg.split(":")
             run(int(parts[0]), tile_rows=int(parts[1]),

@@ -242,14 +242,17 @@ def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp, mm=None):
 
     alphas = (1.0, 0.5, 0.25, 0.1, 0.02)  # ops/lm_shooting.py:88
 
-    def solve_from(x0c, xt, obs, uf0, done_init, max_iters):
+    def solve_from(x0c, xt, obs, uf0, done_init, max_iters,
+                   with_iter_stats=False):
+        n_head = 4 if with_iter_stats else 3
+
         def cond(carry):
             it, done_f = carry[0], carry[1]
             return (it < max_iters) & (jnp.min(done_f) < 0.5)
 
         def body(carry):
             it, done_f, lam = carry[0], carry[1], carry[2]
-            uf = list(carry[3:])
+            uf = list(carry[n_head:])
             done = done_f > 0.5
             f0, rows, xs = residual(x0c, xt, obs, uf)
             du = lm_step(obs, uf, rows, xs, lam)
@@ -275,17 +278,34 @@ def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp, mm=None):
             f_new = jnp.where(accept, best_f, f0)
             stop = (f_new < 1e-14) | ((~accept) & (lam_next > 1e10))
             done_next = jnp.maximum(done_f, stop.astype(jnp.float32))
-            return (it + 1, done_next, lam_next) + uf_next
+            head = (it + 1, done_next, lam_next)
+            if with_iter_stats:
+                # same convention as _pallas_lm_core.lm_solve: per-lane
+                # trips until the lane froze; pre-done lanes count 0
+                newly = done_next > done_f
+                it_done = jnp.where(newly, jnp.float32(1.0) * (it + 1),
+                                    carry[3])
+                head = head + (it_done,)
+            return head + uf_next
 
-        init = ((jnp.asarray(0), done_init,
-                 jnp.full(shp, 1e-3, jnp.float32)) + tuple(uf0))
-        final = jax.lax.while_loop(cond, body, init)
-        uf = list(final[3:])
+        head0 = (jnp.asarray(0), done_init,
+                 jnp.full(shp, 1e-3, jnp.float32))
+        if with_iter_stats:
+            head0 = head0 + (jnp.zeros(shp, jnp.float32),)
+        final = jax.lax.while_loop(cond, body, head0 + tuple(uf0))
+        uf = list(final[n_head:])
         f, _, _ = residual(x0c, xt, obs, uf)
+        if with_iter_stats:
+            executed = jnp.float32(1.0) * final[0]
+            it_done = final[3]
+            useful = jnp.where(it_done > 0.0, it_done,
+                               jnp.where(done_init > 0.5, 0.0, executed))
+            return uf, f, useful, executed
         return uf, f
 
     def feasibility_solve(x0c, xt, obs, warm, done_init, max_iters,
-                          num_starts, skip_converged_starts=False):
+                          num_starts, skip_converged_starts=False,
+                          with_iter_stats=False):
         """Full multi-start solve + feasibility verdict on the rollout.
 
         warm: list of nvar arrays (CLIPPED warm start). Returns
@@ -305,15 +325,28 @@ def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp, mm=None):
         """
         inv_w2, inv_h2, present = obs[2], obs[3], obs[6]
         # start 0: clipped warm start; start 1: zeros (lm_shooting.py:120-123)
-        uf_best, f_best = solve_from(x0c, xt, obs, warm, done_init, max_iters)
+        if with_iter_stats:
+            uf_best, f_best, useful, executed = solve_from(
+                x0c, xt, obs, warm, done_init, max_iters,
+                with_iter_stats=True)
+        else:
+            uf_best, f_best = solve_from(x0c, xt, obs, warm, done_init,
+                                         max_iters)
         for _ in range(1, num_starts):
             zdone = done_init
             if skip_converged_starts:
                 zdone = jnp.maximum(
                     done_init, (f_best < 1e-14).astype(jnp.float32))
             zero_start = [jnp.zeros(shp, jnp.float32) for _ in range(nvar)]
-            uf_z, f_z = solve_from(x0c, xt, obs, zero_start, zdone,
-                                   max_iters)
+            if with_iter_stats:
+                uf_z, f_z, useful_z, executed_z = solve_from(
+                    x0c, xt, obs, zero_start, zdone, max_iters,
+                    with_iter_stats=True)
+                useful = useful + useful_z
+                executed = executed + executed_z
+            else:
+                uf_z, f_z = solve_from(x0c, xt, obs, zero_start, zdone,
+                                       max_iters)
             better = f_z < f_best  # strict: warm wins ties (argmin-first)
             uf_best = [jnp.where(better, a, b)
                        for a, b in zip(uf_z, uf_best)]
@@ -342,6 +375,8 @@ def make_nlmpc_tile_funcs(C: SimpleNamespace, n: int, shp, mm=None):
             viol = g if viol is None else jnp.maximum(viol, g)
         feasible = ((term_err <= C.term_tol) & (viol <= C.viol_tol)).astype(
             jnp.float32)
+        if with_iter_stats:
+            return us, xs, term_err, feasible, useful, executed
         return us, xs, term_err, feasible
 
     return SimpleNamespace(clip_a=clip_a, clip_d=clip_d, step=step,

@@ -61,6 +61,7 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                            mode: str = "spaceVarying",
                            all_iter: bool = False,
                            stream_safe_set: bool = False,
+                           with_stats: bool = False,
                            interpret: bool = False):
     """Factory: returns
     fn(x (4,B), guess (4,B), u_warm (n,2,B), states (max_laps,T,4,B),
@@ -148,6 +149,9 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
         raise ValueError("qsort_skip is not defined for mode='all' (the "
                          "lexicographic row comparison needs every "
                          "position's cost)")
+    if all_mode and with_stats:
+        raise ValueError("with_stats is instrumented for the block modes "
+                         "(spaceVarying/timeVarying) only")
     if all_iter and not all_mode:
         raise ValueError("all_iter widens the lap window of mode='all'")
     if all_mode and not stream_safe_set:
@@ -191,6 +195,8 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
         us_ref, fe_ref, ng_ref, idx_ref, row_ref, succ_ref = (
             nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref(), nxt_ref(),
             nxt_ref())
+        if with_stats:
+            useful_ref, exec_ref = nxt_ref(), nxt_ref()
         if all_mode:
             cost_cur, cost_best, cmp_best = (nxt_ref(), nxt_ref(),
                                              nxt_ref())
@@ -247,6 +253,9 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
         idx_ref[...] = jnp.zeros((tile,), jnp.int32)
         row_ref[...] = jnp.zeros((tile,), jnp.int32)
         succ_ref[...] = jnp.zeros((tile,), jnp.float32)
+        if with_stats:
+            useful_ref[...] = jnp.zeros((tile,), jnp.float32)
+            exec_ref[...] = jnp.zeros((tile,), jnp.float32)
 
         @pl.when(jnp.max(1.0 - skip_f) > 0.5)
         def _():
@@ -460,7 +469,11 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                     def solve_pos(state):
                         # alive is the tile-level early-termination flag (f32
                         # scalar — Mosaic miscompiles i1 while carries)
-                        p, alive, best_cost, best_slot, best_pos = state
+                        if with_stats:
+                            (p, alive, best_cost, best_slot, best_pos,
+                             u_acc, e_acc) = state
+                        else:
+                            p, alive, best_cost, best_slot, best_pos = state
                         sel = [rank[j] == p for j in range(k)]
                         xt, q_p, ok_p = [], inf_t, jnp.zeros(shp, jnp.float32)
                         slot_p = jnp.zeros(shp, jnp.int32)
@@ -484,9 +497,20 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                         lane_skip = (hzn_f + q_eff >= best_cost) & (p > 0)
                         skip_all = jnp.maximum(solve_skip_f,
                                                lane_skip.astype(jnp.float32))
-                        us, _xs, _te, feasible = F.feasibility_solve(
-                            x0c, tuple(xt), obs, warm, skip_all, max_iters,
-                            num_starts, skip_converged_starts=zeros_skip)
+                        if with_stats:
+                            (us, _xs, _te, feasible, useful_s,
+                             executed_s) = F.feasibility_solve(
+                                x0c, tuple(xt), obs, warm, skip_all,
+                                max_iters, num_starts,
+                                skip_converged_starts=zeros_skip,
+                                with_iter_stats=True)
+                            u_acc = u_acc + useful_s.reshape(tile)
+                            e_acc = e_acc + executed_s
+                        else:
+                            us, _xs, _te, feasible = F.feasibility_solve(
+                                x0c, tuple(xt), obs, warm, skip_all,
+                                max_iters, num_starts,
+                                skip_converged_starts=zeros_skip)
                         if store_solutions:
                             for i in range(n):
                                 sol_us[p, i, 0] = us[i][0].reshape(tile)
@@ -503,19 +527,29 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                         # lanes must not hold the loop open.
                         alive_nxt = jnp.max(
                             (1.0 - skip_f) * (1.0 - lane_skip.astype(jnp.float32)))
-                        return (p + 1, alive_nxt,
-                                jnp.where(upd, cost, best_cost),
-                                jnp.where(upd, slot_p, best_slot),
-                                jnp.where(upd, p, best_pos))
+                        out = (p + 1, alive_nxt,
+                               jnp.where(upd, cost, best_cost),
+                               jnp.where(upd, slot_p, best_slot),
+                               jnp.where(upd, p, best_pos))
+                        if with_stats:
+                            out = out + (u_acc, e_acc)
+                        return out
 
                     # all-infeasible fallback = original slot 0 (its position is
                     # solved then: skip requires a FINITE best)
+                    init_q = (jnp.int32(0), jnp.float32(1.0), inf_t,
+                              jnp.zeros(shp, jnp.int32), rank[0])
+                    if with_stats:
+                        init_q = init_q + (jnp.zeros((tile,), jnp.float32),
+                                           jnp.float32(0.0))
+                    fin_q = jax.lax.while_loop(
+                        lambda s: (s[0] < k) & (s[1] > 0.5),
+                        solve_pos, init_q)
                     _p_fin, _a_fin, best_cost, best_slot, best_pos = \
-                        jax.lax.while_loop(
-                            lambda s: (s[0] < k) & (s[1] > 0.5),
-                            solve_pos,
-                            (jnp.int32(0), jnp.float32(1.0), inf_t,
-                             jnp.zeros(shp, jnp.int32), rank[0]))
+                        fin_q[:5]
+                    if with_stats:
+                        useful_ref[...] = useful_ref[...] + fin_q[5]
+                        exec_ref[...] = exec_ref[...] + fin_q[6]
                     best_row = jnp.zeros(shp, jnp.int32)
                     best_col = best_slot
                     ci_sel = best_slot
@@ -524,9 +558,19 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                     # --- solve all candidates (one while_loop instance) ---
                     def solve_ci(ci, _):
                         xt = tuple(cand_xt[ci, c].reshape(shp) for c in range(4))
-                        us, _xs, _te, feasible = F.feasibility_solve(
-                            x0c, xt, obs, warm, solve_skip_f, max_iters,
-                            num_starts, skip_converged_starts=zeros_skip)
+                        if with_stats:
+                            (us, _xs, _te, feasible, useful_s,
+                             executed_s) = F.feasibility_solve(
+                                x0c, xt, obs, warm, solve_skip_f, max_iters,
+                                num_starts, skip_converged_starts=zeros_skip,
+                                with_iter_stats=True)
+                            useful_ref[...] = (useful_ref[...]
+                                               + useful_s.reshape(tile))
+                            exec_ref[...] = exec_ref[...] + executed_s
+                        else:
+                            us, _xs, _te, feasible = F.feasibility_solve(
+                                x0c, xt, obs, warm, solve_skip_f, max_iters,
+                                num_starts, skip_converged_starts=zeros_skip)
                         if store_solutions:
                             for i in range(n):
                                 sol_us[ci, i, 0] = us[i][0].reshape(tile)
@@ -589,10 +633,21 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                                 sel, cand_xt[ci, c].reshape(shp), xt_sel[c])
                         idx_sel = jnp.where(sel, cand_idx[ci].reshape(shp),
                                             idx_sel)
-                    us_w, _xs_w, _te_w, _fe_w = F.feasibility_solve(
-                        x0c, tuple(xt_sel), obs, warm, solve_skip_f,
-                        max_iters, num_starts,
-                        skip_converged_starts=zeros_skip)
+                    if with_stats:
+                        (us_w, _xs_w, _te_w, _fe_w, useful_w,
+                         executed_w) = F.feasibility_solve(
+                            x0c, tuple(xt_sel), obs, warm, solve_skip_f,
+                            max_iters, num_starts,
+                            skip_converged_starts=zeros_skip,
+                            with_iter_stats=True)
+                        useful_ref[...] = (useful_ref[...]
+                                           + useful_w.reshape(tile))
+                        exec_ref[...] = exec_ref[...] + executed_w
+                    else:
+                        us_w, _xs_w, _te_w, _fe_w = F.feasibility_solve(
+                            x0c, tuple(xt_sel), obs, warm, solve_skip_f,
+                            max_iters, num_starts,
+                            skip_converged_starts=zeros_skip)
                     us_sel = []
                     for i in range(n):
                         us_sel.append(us_w[i][0])
@@ -712,7 +767,9 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                 pl.BlockSpec((tile,), lambda i, s: (i,)),
                 pl.BlockSpec((tile,), lambda i, s: (i,)),
                 pl.BlockSpec((tile,), lambda i, s: (i,)),
-            ],
+            ] + ([pl.BlockSpec((tile,), lambda i, s: (i,)),
+                  pl.BlockSpec((tile,), lambda i, s: (i,))]
+                 if with_stats else []),
             scratch_shapes=mode_scratch + ([
                 pltpu.VMEM((t_rows, 4, tile), jnp.float32),  # st_vmem
                 pltpu.VMEM((t_rows, tile), jnp.float32),     # qf_vmem
@@ -737,7 +794,9 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                 jax.ShapeDtypeStruct((b,), jnp.int32),
                 jax.ShapeDtypeStruct((b,), jnp.int32),
                 jax.ShapeDtypeStruct((b,), jnp.float32),
-            ],
+            ] + ([jax.ShapeDtypeStruct((b,), jnp.float32),
+                  jax.ShapeDtypeStruct((b,), jnp.float32)]
+                 if with_stats else []),
             interpret=interpret,
         )(*args)
 
@@ -758,6 +817,7 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     solve_api.store_solutions = store_solutions
     solve_api.zeros_skip = zeros_skip
     solve_api.qsort_skip = qsort_skip
+    solve_api.with_stats = with_stats
     solve_api.mode = mode
     solve_api.all_iter = all_iter
     solve_api.stream_safe_set = stream_safe_set

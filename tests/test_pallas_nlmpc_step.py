@@ -251,3 +251,30 @@ def test_nlmpc_step_kernel_all_mode_builder_guards():
     with pytest.raises(ValueError, match="stream_safe_set"):
         build_fused_nlmpc_step(params, limits, 1.0, mode="all",
                                all_iter=True, store_solutions=False, **kw)
+
+
+@pytest.mark.slow
+def test_nlmpc_step_kernel_with_stats_bitwise_neutral():
+    """``with_stats`` (useful/executed LM-trip counters, the straggler-
+    waste accounting of docs/PERF.md) is an observer: decisions, records
+    and safe set must be bitwise-unchanged, and the counters must be
+    populated with useful <= executed per lane."""
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 128,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=1, max_steps=128, max_laps=8, max_lm_iters=12,
+              sim_step_budget=45)
+    key = jax.random.PRNGKey(5)
+    runs = {}
+    for ws in (False, True):
+        solver = build_fused_nlmpc_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=8, max_iters=12, tile_rows=1,
+            qsort_skip=True, with_stats=ws, interpret=True)
+        runs[ws] = simulate_nlmpc_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+            pallas_step_solver=solver, **kw)
+    _assert_bitwise(runs[False], runs[True])
+    useful, execd = (np.asarray(v) for v in runs[True].iter_stats)
+    assert useful.sum() > 0 and execd.sum() > 0
+    assert (useful <= execd + 1e-6).all()
