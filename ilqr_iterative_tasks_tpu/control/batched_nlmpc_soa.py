@@ -115,6 +115,16 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
     (ops.pallas_nlmpc_step.build_fused_nlmpc_step), which subsumes kNN,
     solves, selection and the guess advance per lane. Static args: a new
     factory function triggers a retrace.
+
+    ``infeasible_retire=S``: retire a lane from the SOLVER after S
+    consecutive all-infeasible steps (the plant keeps integrating the
+    held-input creep and the goal check, so records/completion stay exact
+    unless feasibility would have returned after >= S streak steps —
+    envelope-gated, docs/PERF.md "The NLMPC noise tail"). Default None
+    (exact). ``with_streak_stats``: populate ``result.streaks`` with per
+    lane-lap (max recovered streak, terminal streak) — the measurement
+    that sizes S. A step solver built with ``with_stats=True`` populates
+    ``result.iter_stats`` (useful/executed LM trips per lane).
     """
     n = params.num_horizon
     k = params.num_ss_points
