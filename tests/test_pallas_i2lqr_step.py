@@ -25,6 +25,21 @@ from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
 DT = jnp.float32
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache_writes():
+    """Serializing this module's largest interpret-mode step-kernel
+    executables for the persistent compilation cache SEGFAULTS the
+    process (reproduced 3x: jax compilation_cache put_executable_and_time
+    / get_executable_and_time on the with_stats and qsort variants; a
+    crashed write then poisons the entry so later READS crash too).
+    Disable cache writes for this module — the interpret compiles are
+    paid per run instead of crashing the suite."""
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+
+
 def _setup(dtype=DT, **overrides):
     params = IlqrParams.make(dtype=dtype)
     if overrides:
