@@ -17,7 +17,7 @@ from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
 from ilqr_iterative_tasks_tpu.parallel.mesh import make_mesh
 from ilqr_iterative_tasks_tpu.parallel.sharded_soa import (
     shard_soa_scenarios, simulate_learning_runs_soa_sharded,
-    simulate_nlmpc_runs_soa_sharded)
+    simulate_nlmpc_runs_soa_sharded, simulate_nlmpc_runs_soa_shardmap)
 from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
 from ilqr_iterative_tasks_tpu.utils.params import (IlqrParams, LmpcParams,
                                                    SystemLimits)
@@ -160,3 +160,54 @@ def test_sharded_sim_compiles_with_zero_collectives():
     for op in ("all-reduce", "all-gather", "collective-permute",
                "all-to-all", "reduce-scatter"):
         assert not re.findall(op + r"\(", txt), op
+
+
+@pytest.mark.slow
+def test_nlmpc_shardmap_step_kernel_matches_per_shard():
+    """NLMPC mirror of the i2LQR step-kernel shard_map test: the 2-device
+    mesh run of the whole-step NLMPC kernel (interpret) must equal running
+    each shard separately with its fold_in(key, shard) stream — bitwise.
+    Covers the production wrapper bench.py would use on a pod, incl. the
+    round-4 exact shrink semantics and the envelope-gated
+    infeasible-retire path."""
+    from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
+        build_fused_nlmpc_step)
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    mesh = make_mesh(2)
+    limits, seed_xs, seed_us, _ = _setup(256)
+    xcl, _u = seed_trajectory(1.0)
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 256,
+                                 noise_on=True, dtype=DT)
+    params = LmpcParams.make(ss_option="spaceVarying")
+    solver = build_fused_nlmpc_step(
+        params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
+        max_laps=8, max_iters=10, tile_rows=1, qsort_skip=True,
+        interpret=True)
+    kw = dict(num_laps=1, max_steps=128, max_laps=8, max_lm_iters=10,
+              sim_step_budget=45, pallas_step_solver=solver,
+              infeasible_retire=8)
+    key = jax.random.PRNGKey(11)
+    res = simulate_nlmpc_runs_soa_shardmap(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0, key, mesh, **kw)
+
+    halves = []
+    for i in range(2):
+        scs_i = jax.tree_util.tree_map(
+            lambda a: a[..., i * 128:(i + 1) * 128], scs)
+        r = simulate_nlmpc_runs_soa(
+            params, limits, scs_i, seed_xs, seed_us, 121, 1.0,
+            jax.random.fold_in(key, i), **kw)
+        halves.append(r)
+    want_steps = np.concatenate(
+        [np.asarray(h.lap_steps) for h in halves], axis=-1)
+    np.testing.assert_array_equal(np.asarray(res.lap_steps), want_steps)
+    want_done = np.concatenate(
+        [np.asarray(h.lap_done) for h in halves], axis=-1)
+    np.testing.assert_array_equal(np.asarray(res.lap_done), want_done)
+    for j in range(4):
+        want = np.concatenate(
+            [np.asarray(h.safe_set[j]) for h in halves], axis=-1)
+        np.testing.assert_array_equal(np.asarray(res.safe_set[j]), want)
