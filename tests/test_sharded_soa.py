@@ -67,11 +67,25 @@ def test_i2lqr_soa_sharded_matches_unsharded():
 
 @pytest.mark.slow
 def test_nlmpc_soa_sharded_matches_unsharded():
+    """f64: the sharded and unsharded programs are two different XLA
+    compilations of the same per-lane math — fusion/FMA formation can
+    round f32 differently and flip LM accept boundaries (the repo's
+    parity convention: cross-compilation bitwise comparison is only valid
+    at f64 — CLAUDE.md / docs/PARITY.md). Observed at f32 after the
+    round-4 simulator carries reshuffled fusion: lap steps [32, 24] vs
+    [31, 22] between the two compilations of identical inputs."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     mesh = make_mesh(8)
-    limits, seed_xs, seed_us, scs = _setup(16)
-    params = LmpcParams.make(ss_option="spaceVarying")
+    f64 = jnp.float64
+    limits = SystemLimits.make(dtype=f64)
+    xcl, _u = seed_trajectory(1.0)
+    seed_xs = jnp.zeros((128, 4), f64).at[:121].set(jnp.asarray(xcl, f64))
+    seed_us = jnp.zeros((128, 2), f64)
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=f64)
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 16,
+                                 noise_on=False, dtype=f64)
+    params = LmpcParams.make(ss_option="spaceVarying", dtype=f64)
     kw = dict(num_laps=2, max_steps=128, max_laps=8)
     key = jax.random.PRNGKey(0)
     ref = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us, 121,
