@@ -545,9 +545,13 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
              us_rec, streak, retired, rec_max, it_acc, key) = c
             # ``infeasible_retire``: during an all-infeasible streak the
             # applied input is u_prev and every solver-side state (guess,
-            # u_warm, hzn) is frozen (base.py:605-611) — the solves only
-            # matter as the binary "did any candidate become feasible
-            # again". After S consecutive all-infeasible steps the lane
+            # u_warm, hzn) is frozen — the solves only matter as the binary
+            # "did any candidate become feasible again". (The freeze is this
+            # framework's documented sane-ification of the reference's
+            # degenerate all-infeasible path: base.py:605-611 continues
+            # after the failed ``pause`` and applies the FAILED solve's
+            # first input — inf for horizon-1 lanes. See docs/PARITY.md.)
+            # After S consecutive all-infeasible steps the lane
             # retires from the SOLVER ONLY: the plant keeps integrating
             # (the held-input creep and the goal-reach check are exact),
             # so the recorded lap, lap_steps and completion stay identical

@@ -88,6 +88,8 @@ def _shardmap_sim(sim_fn, params, limits, scenarios, seed_xs, seed_us,
     if getattr(out_shapes, "iter_stats", ()) != ():
         extra["iter_stats"] = tuple(trailing(t)
                                     for t in out_shapes.iter_stats)
+    if getattr(out_shapes, "streaks", ()) != ():
+        extra["streaks"] = tuple(trailing(t) for t in out_shapes.streaks)
     out_specs = type(out_shapes)(
         lap_steps=trailing(out_shapes.lap_steps),
         lap_done=trailing(out_shapes.lap_done),

@@ -72,6 +72,43 @@ def main(which: str) -> None:
                 solver_max_iter=16, pallas_step_solver=solver)
             jax.block_until_ready(res)
             runs.append(res)
+    elif which == "nlmpc_stats":
+        # ADVICE r4: the with_stats qsort path adds a (tile,) f32 vector and
+        # an f32 scalar to the Mosaic scf.while carry — exactly the
+        # documented miscompile surface. Build it NON-interpret on the chip:
+        # the observer must be bitwise-neutral and useful <= executed.
+        from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
+            simulate_nlmpc_runs_soa)
+        from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
+            build_fused_nlmpc_step)
+        from ilqr_iterative_tasks_tpu.utils.params import (LmpcParams,
+                                                           SystemLimits)
+
+        params = LmpcParams.make(ss_option="spaceVarying")
+        limits = SystemLimits.make(dtype=dtype)
+        runs = []
+        for stats in (False, True):
+            solver = build_fused_nlmpc_step(
+                params, limits, 1.0, num_horizon=params.num_horizon,
+                max_steps=max_steps, max_laps=8, max_iters=12, tile_rows=8,
+                qsort_skip=True, with_stats=stats)
+            res = simulate_nlmpc_runs_soa(
+                params, limits, scenarios, seed_xs, seed_us, 121, 1.0, key,
+                num_laps=2, max_steps=max_steps, max_laps=8, max_lm_iters=12,
+                pallas_step_solver=solver)
+            jax.block_until_ready(res)
+            runs.append(res)
+        base, stat = runs
+        np.testing.assert_array_equal(np.asarray(base.lap_steps),
+                                      np.asarray(stat.lap_steps))
+        np.testing.assert_array_equal(np.asarray(base.lap_done),
+                                      np.asarray(stat.lap_done))
+        useful = np.asarray(stat.iter_stats[0])
+        executed = np.asarray(stat.iter_stats[1])
+        assert (useful <= executed).all(), "useful trips exceed executed"
+        assert executed.max() > 0, "stats counters never accumulated"
+        print("TPU_QSORT_PARITY_OK")
+        return
     else:
         from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
             simulate_nlmpc_runs_soa)

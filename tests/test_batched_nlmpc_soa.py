@@ -220,9 +220,13 @@ def test_nlmpc_pallas_solver_requires_skip_and_hzn():
 def test_nlmpc_infeasible_retire_within_envelope():
     """``infeasible_retire``: after S consecutive all-infeasible steps a
     lane retires from the SOLVER while the plant keeps integrating the
-    held-input creep (the reference's own Linux behavior for the
-    all-infeasible state — base.py:605-611 continues after the failed
-    ``pause``). The recorded lap / lap_steps / completion only change when
+    held-input creep. (The reference's own all-infeasible path is
+    degenerate: base.py:605-611 continues after the failed ``pause`` and
+    applies u_list[best][0] — the FAILED solve's first input, inf for
+    horizon-1 lanes. The held-input freeze is this framework's documented
+    sane-ification of that state — docs/PARITY.md — and the retire knob
+    builds on the freeze.) The recorded lap / lap_steps / completion only
+    change when
     a lane would have REGAINED feasibility after >= S streak steps —
     measured at B=49152 on hardware: recovered streaks are <= 2 for all
     but ~0.03% of lane-laps while terminal streaks run > 64 steps

@@ -225,3 +225,21 @@ def test_nlmpc_shardmap_step_kernel_matches_per_shard():
         want = np.concatenate(
             [np.asarray(h.safe_set[j]) for h in halves], axis=-1)
         np.testing.assert_array_equal(np.asarray(res.safe_set[j]), want)
+
+
+def test_nlmpc_shardmap_with_streak_stats():
+    """ADVICE r4 regression: with_streak_stats=True populates the
+    ``streaks`` field of the result pytree — the shard_map out_specs must
+    carry a matching entry or shard_map fails on the pytree mismatch."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    mesh = make_mesh(2)
+    limits, seed_xs, seed_us, scs = _setup(8)
+    params = LmpcParams.make(ss_option="spaceVarying")
+    kw = dict(num_laps=1, max_steps=128, max_laps=8, max_lm_iters=8,
+              sim_step_budget=20, with_streak_stats=True)
+    res = simulate_nlmpc_runs_soa_shardmap(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0,
+        jax.random.PRNGKey(0), mesh, **kw)
+    assert len(res.streaks) == 2
+    assert np.asarray(res.streaks[0]).shape == (1, 8)

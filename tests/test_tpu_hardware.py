@@ -47,3 +47,11 @@ def test_i2lqr_qsort_skip_bitwise_on_hardware():
 
 def test_nlmpc_qsort_skip_bitwise_on_hardware():
     _run_worker("nlmpc")
+
+
+def test_nlmpc_with_stats_qsort_compiled_on_hardware():
+    """ADVICE r4: the with_stats qsort kernel adds a (tile,) f32 vector +
+    f32 scalar to the Mosaic scf.while carry; CI only exercises it in
+    interpret mode. Build it non-interpret on the chip and check the
+    observer is bitwise-neutral with useful <= executed."""
+    _run_worker("nlmpc_stats")
