@@ -157,6 +157,86 @@ def main():
         n_times.append(time.perf_counter() - t0)
     nlmpc_rate = n_batch * num_laps / min(n_times)
 
+    # Round-4 tier visibility (VERDICT r4 #7): the timeVarying and `all`
+    # safe-set modes + the generic-system solver tier are tracked here so a
+    # regression in any round-4 capability shows in BENCH_r{N}.json, not
+    # only in ad-hoc probes (docs/PERF.md "Safe-set option tiers").
+    tiers = {}
+    if on_tpu:
+        from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
+            build_fused_nlmpc_step)
+
+        def run_tier(tag, batch_m, pkw, skw, sim_kw, reps):
+            p_m = LmpcParams.make(dtype=dtype, **pkw)
+            scen_m = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle,
+                                            batch_m, noise_on=True,
+                                            dtype=dtype)
+            solver_m = build_fused_nlmpc_step(
+                p_m, limits, 1.0, num_horizon=p_m.num_horizon,
+                max_steps=max_steps, max_laps=8, max_iters=12, tile_rows=8,
+                **skw)
+            kw_m = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
+                        max_lm_iters=12, pallas_step_solver=solver_m,
+                        **sim_kw)
+
+            def go(seed):
+                r = simulate_nlmpc_runs_soa(
+                    p_m, limits, scen_m, seed_xs, seed_us, 121, 1.0,
+                    jax.random.PRNGKey(seed), **kw_m)
+                jax.block_until_ready(r)
+                return r
+
+            r0 = go(0)
+            ts = []
+            for rep in range(1, 1 + reps):
+                t0 = time.perf_counter()
+                go(rep)
+                ts.append(time.perf_counter() - t0)
+            tiers[f"nlmpc_{tag}_lap_sims_per_s"] = round(
+                batch_m * num_laps / min(ts), 1)
+            tiers[f"nlmpc_{tag}_completion"] = round(
+                float(np.asarray(r0.lap_done, dtype=np.float32).mean()), 4)
+
+        # timeVarying: advancing-window laps are inherently long (zero-noise
+        # host [111, 104, 97]) — per STEP it is the fastest tier
+        run_tier("tv", 49152, dict(ss_option="timeVarying"),
+                 dict(mode="timeVarying", qsort_skip=True),
+                 dict(infeasible_retire=8), reps=2)
+        # `all`: every stored point of every window row is a candidate —
+        # the reference's widest sweep; HBM-streamed safe set, winner
+        # re-solve (one timed rep: this is a slow canary row)
+        run_tier("all", 8192, dict(all_ss_point=True),
+                 dict(mode="all", store_solutions=False,
+                      stream_safe_set=True),
+                 {}, reps=1)
+
+    # generic-system tier: double integrator through the generic SoA solver
+    # (ops/generic_ilqr_soa.py) — the parametric-(n, m) production solver
+    from ilqr_iterative_tasks_tpu.models import double_integrator
+    from ilqr_iterative_tasks_tpu.ops.generic_ilqr_soa import (
+        build_generic_ilqr_soa)
+
+    g_batch = 32768 if on_tpu else 256
+    qt = np.asarray(params.matrix_Qterminal, np.float64)
+    g_di = build_generic_ilqr_soa(
+        double_integrator.step_comps, n=4, m=2, matrix_Q=np.zeros((4, 4)),
+        matrix_R=np.asarray(params.matrix_R, np.float64), matrix_Qterminal=qt,
+        u_lower=[-float(limits.a_max), -float(limits.delta_max_r)],
+        u_upper=[float(limits.a_max), float(limits.delta_max_r)],
+        dt=1.0, max_iter=150, num_horizon=6)
+    rng = np.random.default_rng(0)
+    xts_g = jnp.asarray(rng.uniform(-20, 20, (4, g_batch)), dtype)
+    x0_g = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0, 0.0], dtype)[:, None], (4, g_batch))
+    u0_g = jnp.zeros((6, 2, g_batch), dtype)
+    jax.block_until_ready(g_di(x0_g, xts_g, u0_g, 1.0))
+    g_best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(g_di(x0_g, xts_g, u0_g, 1.0))
+        g_best = min(g_best, time.perf_counter() - t0)
+    tiers["generic_soa_solves_per_s"] = round(g_batch / g_best, 1)
+
     # robustness metric (BASELINE config 4): randomized moving-obstacle
     # sweep completion at the default (k=8/nsi=1) and rescue (k=32/nsi=4)
     # configs — tracked here so the enlarged-candidate-set rescue of the
@@ -199,6 +279,7 @@ def main():
             # pauses forever there (base.py:607-609), we hold the input
             # and the lap times out (host-verified — docs/PERF.md)
             "nlmpc_lap_completion_rate": round(nlmpc_done, 4),
+            **tiers,
             **rob,
         },
     }))

@@ -57,7 +57,8 @@ import jax
 import jax.numpy as jnp
 
 from ilqr_iterative_tasks_tpu.control.batched_soa import (
-    SoaScenarios, _lex_argmin_rows, _step_solver_inputs, _topk_select)
+    SoaScenarios, _lex_argmin_rows, _permute_lanes, _stable_partition,
+    _step_solver_inputs, _take_lanes, _topk_select, _unpermute_idx)
 from ilqr_iterative_tasks_tpu.ops.ilqr_soa import step_soa
 from ilqr_iterative_tasks_tpu.ops.lm_shooting_soa import (
     lm_feasibility_solve_soa)
@@ -88,7 +89,7 @@ class NlmpcSoaRunResult(NamedTuple):
                                    "max_lm_iters", "pallas_solver",
                                    "pallas_step_solver",
                                    "infeasible_retire",
-                                   "with_streak_stats"))
+                                   "with_streak_stats", "retile_frac"))
 def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             scenarios: SoaScenarios, seed_xs, seed_us,
                             seed_len, dt, key, *, num_laps: int,
@@ -100,6 +101,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             pallas_step_solver=None,
                             infeasible_retire: int | None = None,
                             with_streak_stats: bool = False,
+                            retile_frac: float | None = None,
                             resume_from=None) -> NlmpcSoaRunResult:
     """Seed + ``num_laps`` NLMPC learning laps for B scenarios, batch-trailing.
 
@@ -125,6 +127,14 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
     lane-lap (max recovered streak, terminal streak) — the measurement
     that sizes S. A step solver built with ``with_stats=True`` populates
     ``result.iter_stats`` (useful/executed LM trips per lane).
+
+    ``retile_frac``: periodic straggler re-tiling — same semantics and
+    bitwise guarantee as ``simulate_learning_runs_soa(retile_frac=...)``
+    (control/batched_soa.py): whenever the solver-inactive (done | retired)
+    count grew by >= f*B since the last permutation, ALL per-lane state is
+    stably partitioned active-first so straggler lanes share kernel tiles.
+    Outputs return in original lane order; results are BITWISE identical
+    to retile off (tests/test_batched_nlmpc_soa.py).
     """
     n = params.num_horizon
     k = params.num_ss_points
@@ -510,9 +520,30 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             min_cost = jnp.min(jnp.where(slot_ids[:, None] < lap_count,
                                          lap_len - 1, 1 << 30), axis=0)
             extra = dict(t=t, min_cost=min_cost)
-        out = pallas_step_solver(
-            x, guess, u_warm, states, qfun, lap_len, lap_ids, lap_ok,
-            obs_l, skip, hzn, **extra)
+
+        # Idle-step kernel skip (bitwise-neutral — see batched_soa.py):
+        # once every lane is done | retired the kernel's outputs equal its
+        # zero-init, so skip the launch (its cost is the 48-tile block-DMA
+        # floor). Fires through the post-retire budget tail.
+        def _run_kernel(xa):
+            x_, g_, uw_, skip_, hzn_ = xa
+            return tuple(pallas_step_solver(
+                x_, g_, uw_, states, qfun, lap_len, lap_ids, lap_ok,
+                obs_l, skip_, hzn_, **extra))
+
+        def _idle(xa):
+            z = (jnp.zeros((n, 2, b), jnp.float32),
+                 jnp.zeros((b,), jnp.float32),
+                 jnp.zeros((4, b), jnp.float32),
+                 jnp.zeros((b,), jnp.int32),
+                 jnp.zeros((b,), jnp.int32),
+                 jnp.zeros((b,), jnp.float32))
+            if kernel_stats:
+                z = z + (jnp.zeros((b,), jnp.float32),) * 2
+            return z
+
+        out = jax.lax.cond(jnp.min(skip) < 0.5, _run_kernel, _idle,
+                           (x, guess, u_warm, skip, hzn))
         (us_w, feas_f, new_guess0, idx_sel, row_sel, succ_f) = out[:6]
         it_stats = out[6:8] if kernel_stats else ()
         feas = feas_f > 0.5
@@ -535,14 +566,45 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             guess, u_warm)
         return u_sel, feas, new_guess, u_warm_new, hzn_next, it_stats
 
-    def run_lap(ss, lap_count, guess0, u_warm0, key):
+    retile_block = (None if retile_frac is None
+                    else max(1, int(round(retile_frac * b))))
+
+    def run_lap(ss, lap_count, guess0, u_warm0, key, scen_p, orig_id,
+                it_acc0):
         def step_cond(c):
             x, t, done, *_ = c
             return jnp.any((t < sim_step_budget) & ~done)
 
         def step_body(c):
-            (x, t, done, obstacle, guess, u_warm, hzn, u_prev, xs_rec,
-             us_rec, streak, retired, rec_max, it_acc, key) = c
+            if retile_frac is not None:
+                (x, t, done, obstacle, guess, u_warm, hzn, u_prev, xs_rec,
+                 us_rec, streak, retired, rec_max, it_acc, key, ss_c,
+                 scen_c, oid, skip_base) = c
+                # periodic straggler re-tiling (see simulate docstring and
+                # control/batched_soa.py): stably partition ALL per-lane
+                # state active-first when the solver-inactive count grew by
+                # retile_block since the last permutation
+                skipf = done | retired
+                n_skip = jnp.sum(skipf.astype(jnp.int32)).astype(jnp.int32)
+                P = (x, t, done, obstacle, guess, u_warm, hzn, u_prev,
+                     xs_rec, us_rec, streak, retired, rec_max, it_acc,
+                     ss_c, scen_c, oid)
+
+                def do_perm(args):
+                    P_in, _sb = args
+                    _dst, src, _nf = _stable_partition(skipf)
+                    return _permute_lanes(P_in, src), n_skip
+
+                P, skip_base = jax.lax.cond(
+                    (n_skip - skip_base) >= retile_block, do_perm,
+                    lambda args: args, (P, skip_base))
+                (x, t, done, obstacle, guess, u_warm, hzn, u_prev, xs_rec,
+                 us_rec, streak, retired, rec_max, it_acc, ss_c, scen_c,
+                 oid) = P
+            else:
+                (x, t, done, obstacle, guess, u_warm, hzn, u_prev, xs_rec,
+                 us_rec, streak, retired, rec_max, it_acc, key) = c
+                ss_c, scen_c, oid, skip_base = ss, scenarios, None, None
             # ``infeasible_retire``: during an all-infeasible streak the
             # applied input is u_prev and every solver-side state (guess,
             # u_warm, hzn) is frozen — the solves only matter as the binary
@@ -561,7 +623,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             inact = done | retired
             if pallas_step_solver is not None:
                 (u_solve, feas, guess_new, u_warm_new, hzn_new,
-                 it_stats) = solve_step_kernel(ss, lap_count, x, guess,
+                 it_stats) = solve_step_kernel(ss_c, lap_count, x, guess,
                                                u_warm, t, hzn, obstacle,
                                                inactive=inact)
                 if kernel_stats:
@@ -569,7 +631,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                               it_acc[1] + it_stats[1])
             else:
                 (u_solve, feas, guess_new, u_warm_new,
-                 hzn_new) = solve_step_general(ss, lap_count, x, guess,
+                 hzn_new) = solve_step_general(ss_c, lap_count, x, guess,
                                                u_warm, t, hzn, obstacle,
                                                inactive=inact)
             # retired lanes: solver outputs are skip-lane garbage — hold
@@ -595,8 +657,13 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                                -0.05, 0.05)
             noise_th = jnp.clip(jax.random.normal(k2, (b,), dtype) * 0.005,
                                 -0.05, 0.05)
-            x_next = x_next.at[2].add(0.5 * noise_v * scenarios.noise_on)
-            x_next = x_next.at[3].add(0.5 * noise_th * scenarios.noise_on)
+            if retile_frac is not None:
+                # draws are positional in the ORIGINAL lane order; route
+                # them to the permuted lanes (bitwise vs retile off)
+                nz = _take_lanes(jnp.stack([noise_v, noise_th]), oid)
+                noise_v, noise_th = nz[0], nz[1]
+            x_next = x_next.at[2].add(0.5 * noise_v * scen_c.noise_on)
+            x_next = x_next.at[3].add(0.5 * noise_th * scen_c.noise_on)
             obstacle_next = obstacle.advance(dt)
             # freeze finished lanes
             x_next = jnp.where(done[None, :], x, x_next)
@@ -620,35 +687,45 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                                us_rec)
             onehot_tn = t_idx[:, None] == t_next[None, :]
             xs_rec = jnp.where(onehot_tn[:, None, :], x_next[None], xs_rec)
-            reach = jnp.sqrt(sum((x_next[i] - scenarios.goal[i]) ** 2
+            reach = jnp.sqrt(sum((x_next[i] - scen_c.goal[i]) ** 2
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)
-            return (x_next, t_next, done_next, obstacle_next, guess_next,
+            core = (x_next, t_next, done_next, obstacle_next, guess_next,
                     u_warm_next, hzn_next, u_prev_next, xs_rec, us_rec,
                     streak_next, retired, rec_max, it_acc, key)
+            if retile_frac is not None:
+                return core + (ss_c, scen_c, oid, skip_base)
+            return core
 
-        xs_rec = jnp.zeros((max_steps, 4, b), dtype).at[0].set(scenarios.x0)
+        xs_rec = jnp.zeros((max_steps, 4, b), dtype).at[0].set(scen_p.x0)
         us_rec = jnp.zeros((max_steps, 2, b), dtype)
-        it_acc0 = ((jnp.zeros((b,), jnp.float32),
-                    jnp.zeros((b,), jnp.float32)) if kernel_stats else ())
         # per-lap horizon reset (base.py:660: num_horizon = param horizon)
-        init = (scenarios.x0, jnp.zeros((b,), jnp.int32),
-                jnp.zeros((b,), bool), scenarios.obstacle, guess0, u_warm0,
+        init = (scen_p.x0, jnp.zeros((b,), jnp.int32),
+                jnp.zeros((b,), bool), scen_p.obstacle, guess0, u_warm0,
                 jnp.full((b,), n, jnp.int32),
                 jnp.zeros((2, b), dtype), xs_rec, us_rec,
                 jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool),
                 jnp.zeros((b,), jnp.int32), it_acc0, key)
+        if retile_frac is not None:
+            init = init + (ss, scen_p, orig_id, jnp.asarray(0, jnp.int32))
+            (x, t, done, _obs, _g, _uw, _hz, _up, xs_rec, us_rec, streak,
+             _ret, rec_max, it_acc, key, ss_o, scen_o, oid_o,
+             _sb) = jax.lax.while_loop(step_cond, step_body, init)
+            return (xs_rec, us_rec, t, done, x, (rec_max, streak), it_acc,
+                    key, ss_o, scen_o, oid_o)
         (x, t, done, _obs, _g, _uw, _hz, _up, xs_rec, us_rec, streak,
          _ret, rec_max, it_acc, key) = (
             jax.lax.while_loop(step_cond, step_body, init))
-        return xs_rec, us_rec, t, done, x, (rec_max, streak), it_acc, key
+        return (xs_rec, us_rec, t, done, x, (rec_max, streak), it_acc, key,
+                ss, scen_p, orig_id)
 
     def _set_goal(xs_rec, pos, goal):
         onehot = (t_idx[:, None] == pos[None, :])
         return jnp.where(onehot[:, None, :], goal[None, :, :], xs_rec)
 
     def lap_loop(lap_i, carry):
-        ss, key, lap_steps, lap_done, final_x, streak_rec, it_sum = carry
+        (ss, key, lap_steps, lap_done, final_x, streak_rec, it_sum,
+         scen_p, orig_id) = carry
         lap_count = lap_i + lap0  # laps stored so far (seed + learned)
         newest = lap_count - 1
         # per-lap warm start from the newest lap (base.py:661-675)
@@ -656,21 +733,42 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         in_new = jnp.take(ss[1], newest, axis=0)  # (T, 2, B)
         guess0 = st_new[n]  # (4, B)
         u_warm0 = in_new[:n]  # (N, 2, B)
-        xs_rec, us_rec, t, done, x_fin, streaks, it_lap, key = run_lap(
-            ss, lap_count, guess0, u_warm0, key)
+        if kernel_stats and retile_frac is not None:
+            # the running total rides the while carry so each permutation
+            # moves the partial sums with their lanes
+            it_acc0 = it_sum
+        elif kernel_stats:
+            it_acc0 = (jnp.zeros((b,), jnp.float32),
+                       jnp.zeros((b,), jnp.float32))
+        else:
+            it_acc0 = ()
+        (xs_rec, us_rec, t, done, x_fin, streaks, it_lap, key, ss, scen_p,
+         orig_id) = run_lap(ss, lap_count, guess0, u_warm0, key, scen_p,
+                            orig_id, it_acc0)
         if kernel_stats:
-            it_sum = (it_sum[0] + it_lap[0], it_sum[1] + it_lap[1])
+            if retile_frac is not None:
+                it_sum = it_lap
+            else:
+                it_sum = (it_sum[0] + it_lap[0], it_sum[1] + it_lap[1])
         if goal_append:
             pos, n_valid = t + 1, t + 2
         else:
             pos, n_valid = t, t + 1
-        xs_rec = _set_goal(xs_rec, pos, scenarios.goal)
+        xs_rec = _set_goal(xs_rec, pos, scen_p.goal)
         ss = add_lap(ss, lap_count, xs_rec, us_rec, n_valid)
+        if retile_frac is not None:
+            # per-lap rows are reported in ORIGINAL lane order (the
+            # permutation can differ between laps — scatter back per lap)
+            unperm = lambda a: jnp.zeros_like(a).at[orig_id].set(a)
+            t = unperm(t)
+            done = unperm(done)
+            streaks = (unperm(streaks[0]), unperm(streaks[1]))
         if with_streak_stats:
             streak_rec = (streak_rec[0].at[lap_i].set(streaks[0]),
                           streak_rec[1].at[lap_i].set(streaks[1]))
         return (ss, key, lap_steps.at[lap_i].set(t),
-                lap_done.at[lap_i].set(done), x_fin, streak_rec, it_sum)
+                lap_done.at[lap_i].set(done), x_fin, streak_rec, it_sum,
+                scen_p, orig_id)
 
     streak_rec0 = ((jnp.zeros((num_laps, b), jnp.int32),
                     jnp.zeros((num_laps, b), jnp.int32))
@@ -679,9 +777,16 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                 jnp.zeros((b,), jnp.float32)) if kernel_stats else ())
     init = (ss0, key, jnp.zeros((num_laps, b), jnp.int32),
             jnp.zeros((num_laps, b), bool), scenarios.x0, streak_rec0,
-            it_sum0)
-    (ss, key, lap_steps, lap_done, final_x, streak_rec,
-     it_sum) = jax.lax.fori_loop(0, num_laps, lap_loop, init)
+            it_sum0, scenarios, jnp.arange(b, dtype=jnp.int32))
+    (ss, key, lap_steps, lap_done, final_x, streak_rec, it_sum, _scen,
+     orig_id) = jax.lax.fori_loop(0, num_laps, lap_loop, init)
+    if retile_frac is not None:
+        # restore ORIGINAL lane order on the lane-permuted outputs
+        inv = _unpermute_idx(orig_id, b)
+        ss = _permute_lanes(ss, inv)
+        final_x = _take_lanes(final_x, inv)
+        if kernel_stats:
+            it_sum = _permute_lanes(it_sum, inv)
     return NlmpcSoaRunResult(lap_steps=lap_steps, lap_done=lap_done,
                              final_x=final_x, safe_set=ss,
                              lap_count=lap0 + num_laps, final_key=key,

@@ -122,6 +122,36 @@ def _stable_partition(to_tail):
     return dst, src, n_front
 
 
+def _take_lanes(a, idx):
+    """Permute the trailing LANE axis: a[..., idx] for any-rank a.
+
+    Lowered as transpose -> row gather -> transpose: a direct trailing-axis
+    gather with per-lane indices runs on the TPU scalar core (~1.7 ns per
+    element — CLAUDE.md layout rules), while rows of the transposed array
+    are contiguous slices the gather handles at near memory bandwidth.
+    Measured on v5e at the production shapes (round5_probe permute): the
+    safe-set block (2560, 49152) permutes in ~4.5 ms this way vs ~200 ms
+    direct; (B,)-vector permutes are equal either way.
+    """
+    if a.ndim == 1:
+        return jnp.take(a, idx, axis=0)
+    flat = a.reshape((-1, a.shape[-1]))
+    return jnp.take(flat.T, idx, axis=0).T.reshape(a.shape)
+
+
+def _permute_lanes(tree, idx):
+    """Apply ``_take_lanes`` to every array leaf of a pytree (all leaves
+    must be lane-trailing)."""
+    return jax.tree_util.tree_map(lambda a: _take_lanes(a, idx), tree)
+
+
+def _unpermute_idx(orig_id, b):
+    """Inverse-permutation indices: take(A_perm, inv, -1) restores original
+    lane order (inv[j] = current position of original lane j)."""
+    return jnp.zeros((b,), jnp.int32).at[orig_id].set(
+        jnp.arange(b, dtype=jnp.int32))
+
+
 def _step_solver_inputs(lap_count, nsi, max_laps, inactive, b):
     """Prefetch lap ids / validity flags + skip mask for the whole-step
     fused kernels (shared by both SoA simulators)."""
@@ -200,7 +230,7 @@ def _lex_argmin_rows(cost_rows):
                                    "goal_append", "sim_step_budget",
                                    "solver_max_iter", "pallas_solver",
                                    "pallas_step_solver", "dedup_passes",
-                                   "stall_reseed"))
+                                   "stall_reseed", "retile_frac"))
 def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                scenarios: SoaScenarios, seed_xs, seed_us,
                                seed_len, dt, key, *, num_laps: int,
@@ -212,6 +242,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                pallas_step_solver=None,
                                dedup_passes: bool = False,
                                stall_reseed: int | None = None,
+                               retile_frac: float | None = None,
                                resume_from=None) -> SoaRunResult:
     """Seed + ``num_laps`` learning laps for B scenarios, batch-trailing.
 
@@ -244,6 +275,23 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
     early exits save, and B=65536 hit a device fault. Keep OFF for the
     headline; revisit for enlarged-candidate configs (k=32, nsi=4) where the
     duplicate mass per pass is much larger.
+
+    ``retile_frac`` (periodic straggler re-tiling, default OFF): the step
+    kernel runs each (tile_rows, 128)-lane tile to its slowest lane, and
+    near lap ends ~0.3% straggler lanes scattered uniformly keep ~95% of
+    tiles hot while >99% of lanes are done-frozen (docs/PERF.md roofline).
+    With ``retile_frac=f``, whenever the number of solver-inactive lanes
+    (done | replay) has grown by >= f*B since the last permutation, the
+    ENTIRE per-lane simulation state (solver carry, records, safe set,
+    scenario leaves) is stably partitioned so active lanes share tiles —
+    straggler tiles compact together and the rest go all-skip. Per-lane
+    plant-noise streams follow their lane (draws are generated in original
+    lane order and routed by the carried ``orig_id``), and all outputs are
+    returned in ORIGINAL lane order, so the transformation is a pure
+    schedule change: results are BITWISE identical to ``retile_frac=None``
+    (validated in tests/test_batched.py). The permutation itself uses the
+    transpose-row-gather form (~5 ms for the full state at B=49k, measured)
+    and fires a bounded number of times per lap (<= 1/f).
 
     ``stall_reseed`` (robustness guard, default OFF — behavior then matches
     the reference exactly): the i2LQR parked-lane failure mode (docs/PERF.md
@@ -381,8 +429,32 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             obs_l = obstacle_to_lanes(obstacle, b)
             lap_ids, lap_ok, skip = _step_solver_inputs(
                 lap_count, nsi, max_laps, inactive, b)
-            out = pallas_step_solver(
-                x, g0, states, qfun, lap_len, lap_ids, lap_ok, obs_l, skip)
+
+            # Idle-step kernel skip (bitwise-neutral): once every lane is
+            # solver-inactive (done | replay — the ENTIRE budget tail of a
+            # lap: the 0.3% creep lanes replay, they don't solve), the
+            # kernel's outputs are exactly its zero-init (all-skip tiles
+            # never run the body), so the launch — whose per-step cost is
+            # the 48-tile block-DMA floor, ~0.76 ms at B=49k — is pure
+            # waste. lax.cond returns the same zeros directly. Measured
+            # +17% on the i2LQR headline (docs/PERF.md round-5).
+            def _run_kernel(xa):
+                x_, g0_, skip_ = xa
+                return tuple(pallas_step_solver(
+                    x_, g0_, states, qfun, lap_len, lap_ids, lap_ok, obs_l,
+                    skip_))
+
+            def _idle(xa):
+                z = (jnp.zeros((n, 2, b), jnp.float32),
+                     jnp.zeros((b,), jnp.float32),
+                     jnp.zeros((b,), jnp.int32),
+                     jnp.zeros((b,), jnp.int32))
+                if stats_on:
+                    z = z + (jnp.zeros((b,), jnp.float32),) * 3
+                return z
+
+            out = jax.lax.cond(jnp.min(skip) < 0.5, _run_kernel, _idle,
+                               (x, g0, skip))
             us_sel, shrink_f, idx_o, row_o = out[0], out[1], out[2], out[3]
             stats = tuple(out[4:7]) if stats_on else None
             u = us_sel[0]
@@ -590,24 +662,58 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
         u_old = jnp.concatenate([us_p[1:], jnp.zeros((1, 2, b), dtype)], axis=0)
         return u, u_old, shrink, idx_c.astype(jnp.int32), row_c, None
 
-    def run_lap(ss, lap_count, key):
+    retile_block = (None if retile_frac is None
+                    else max(1, int(round(retile_frac * b))))
+
+    def run_lap(ss, lap_count, key, scen_p, orig_id, acc0):
+        """One closed-loop lap. Under re-tiling, ``scen_p`` (a SoaScenarios
+        pytree) and ``orig_id`` carry the permuted scenario leaves and the
+        original lane ids; with retile off they pass through untouched."""
+
         def step_cond(c):
             (x, t, done, *_r) = c
             return jnp.any((t < sim_step_budget) & ~done)
 
         def step_body(c):
-            (x, t, done, obstacle, horizon_left, replay_pos, u_old, xs_rec,
-             key, stall, q_prev, acc) = c
+            if retile_frac is not None:
+                (x, t, done, obstacle, horizon_left, replay_pos, u_old,
+                 xs_rec, key, stall, q_prev, acc, ss_c, scen_c, oid,
+                 skip_base) = c
+                # periodic straggler re-tiling (see simulate docstring):
+                # stably partition ALL per-lane state so active lanes share
+                # tiles, whenever the solver-inactive count grew by
+                # retile_block since the last permutation. Pure schedule
+                # change — per-lane math is lane-position invariant and the
+                # noise stream is routed by oid below.
+                skipf = done | (horizon_left < n)
+                n_skip = jnp.sum(skipf.astype(jnp.int32)).astype(jnp.int32)
+                P = (x, t, done, obstacle, horizon_left, replay_pos, u_old,
+                     xs_rec, stall, q_prev, acc, ss_c, scen_c, oid)
+
+                def do_perm(args):
+                    P_in, _sb = args
+                    _dst, src, _nf = _stable_partition(skipf)
+                    return _permute_lanes(P_in, src), n_skip
+
+                P, skip_base = jax.lax.cond(
+                    (n_skip - skip_base) >= retile_block, do_perm,
+                    lambda args: args, (P, skip_base))
+                (x, t, done, obstacle, horizon_left, replay_pos, u_old,
+                 xs_rec, stall, q_prev, acc, ss_c, scen_c, oid) = P
+            else:
+                (x, t, done, obstacle, horizon_left, replay_pos, u_old,
+                 xs_rec, key, stall, q_prev, acc) = c
+                ss_c, scen_c, oid, skip_base = ss, scenarios, None, None
             in_replay = horizon_left < n  # (B,)
             if stall_reseed is not None:
                 # stall-reseed guard (see simulate docstring): stalled lanes
                 # kNN around the GOAL on pass 0 instead of the current state
                 g0 = jnp.where((stall >= stall_reseed)[None, :],
-                               scenarios.goal, x)
+                               scen_c.goal, x)
             else:
                 g0 = x
             u_solve, u_old_new, shrink, idx_sel, row_sel, stats = solve_step(
-                ss, lap_count, x, g0, obstacle, inactive=done | in_replay)
+                ss_c, lap_count, x, g0, obstacle, inactive=done | in_replay)
             if stats_on:
                 acc = tuple(a + sv for a, sv in zip(acc, stats))
             if stall_reseed is not None:
@@ -620,7 +726,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                         == jnp.clip(idx_sel, 0, max_steps - 1)[None, :])
                 q_win = jnp.zeros((b,), dtype)
                 for off in range(nsi):
-                    qf_off = ss[1][lap_ids_s[off]]  # (T, B)
+                    qf_off = ss_c[1][lap_ids_s[off]]  # (T, B)
                     q_win = jnp.where(
                         row_sel == off,
                         jnp.sum(jnp.where(oh_q, qf_off, 0.0), axis=0),
@@ -654,8 +760,14 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                -0.05, 0.05)
             noise_th = jnp.clip(jax.random.normal(k2, (b,), dtype) * 0.005,
                                 -0.05, 0.05)
-            x_next = x_next.at[2].add(0.5 * noise_v * scenarios.noise_on)
-            x_next = x_next.at[3].add(0.5 * noise_th * scenarios.noise_on)
+            if retile_frac is not None:
+                # draws are positional in the ORIGINAL lane order; route
+                # them to the permuted lanes so each lane's noise stream is
+                # permutation-invariant (bitwise vs retile off)
+                nz = _take_lanes(jnp.stack([noise_v, noise_th]), oid)
+                noise_v, noise_th = nz[0], nz[1]
+            x_next = x_next.at[2].add(0.5 * noise_v * scen_c.noise_on)
+            x_next = x_next.at[3].add(0.5 * noise_th * scen_c.noise_on)
             obstacle_next = obstacle.advance(dt)
             # freeze finished lanes
             x_next = jnp.where(done[None, :], x, x_next)
@@ -674,25 +786,32 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             # In-bounds by the max_steps check at function entry.
             onehot_t = t_idx[:, None] == t_next[None, :]  # (T, B)
             xs_rec = jnp.where(onehot_t[:, None, :], x_next[None], xs_rec)
-            reach = jnp.sqrt(sum((x_next[i] - scenarios.goal[i]) ** 2
+            reach = jnp.sqrt(sum((x_next[i] - scen_c.goal[i]) ** 2
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)
-            return (x_next, t_next, done_next, obstacle_next, horizon_next,
+            core = (x_next, t_next, done_next, obstacle_next, horizon_next,
                     replay_next, u_old_next, xs_rec, key, stall, q_prev, acc)
+            if retile_frac is not None:
+                return core + (ss_c, scen_c, oid, skip_base)
+            return core
 
         xs_rec = jnp.zeros((max_steps, 4, b), dtype)
-        xs_rec = xs_rec.at[0].set(scenarios.x0)
-        acc0 = (tuple(jnp.zeros((b,), jnp.float32) for _ in range(3))
-                if stats_on else ())
-        init = (scenarios.x0, jnp.zeros((b,), jnp.int32),
-                jnp.zeros((b,), bool), scenarios.obstacle,
+        xs_rec = xs_rec.at[0].set(scen_p.x0)
+        init = (scen_p.x0, jnp.zeros((b,), jnp.int32),
+                jnp.zeros((b,), bool), scen_p.obstacle,
                 jnp.full((b,), n, jnp.int32), jnp.zeros((b,), jnp.int32),
                 jnp.zeros((n, 2, b), dtype), xs_rec, key,
                 jnp.zeros((b,), jnp.int32),
                 jnp.full((b,), jnp.inf, dtype), acc0)
+        if retile_frac is not None:
+            init = init + (ss, scen_p, orig_id, jnp.asarray(0, jnp.int32))
+            (x, t, done, _obs, _hl, _rp, _uo, xs_rec, key, _st, _qp, acc,
+             ss_o, scen_o, oid_o, _sb) = jax.lax.while_loop(
+                 step_cond, step_body, init)
+            return xs_rec, t, done, key, acc, ss_o, scen_o, oid_o
         (x, t, done, _obs, _hl, _rp, _uo, xs_rec, key, _st, _qp, acc) = (
             jax.lax.while_loop(step_cond, step_body, init))
-        return xs_rec, t, done, key, acc
+        return xs_rec, t, done, key, acc, ss, scen_p, orig_id
 
     def _set_goal(xs_rec, pos, goal):
         """xs_rec: (T, 4, B); pos: (B,); goal: (4, B). Set row ``pos`` per lane."""
@@ -700,30 +819,54 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
         return jnp.where(onehot[:, None, :], goal[None, :, :], xs_rec)
 
     def lap_loop(lap_i, carry):
-        ss, key, lap_steps, lap_done, stat_acc = carry
+        ss, key, lap_steps, lap_done, stat_acc, scen_p, orig_id = carry
         lap_count = lap_i + lap0  # laps stored so far (seed + learned)
-        xs_rec, t, done, key, lap_acc = run_lap(ss, lap_count, key)
+        if stats_on and retile_frac is not None:
+            # the running total rides the while carry so each permutation
+            # moves the partial sums with their lanes
+            acc0 = stat_acc
+        elif stats_on:
+            acc0 = tuple(jnp.zeros((b,), jnp.float32) for _ in range(3))
+        else:
+            acc0 = ()
+        xs_rec, t, done, key, lap_acc, ss, scen_p, orig_id = run_lap(
+            ss, lap_count, key, scen_p, orig_id, acc0)
         if stats_on:
-            stat_acc = tuple(a + sv for a, sv in zip(stat_acc, lap_acc))
+            if retile_frac is not None:
+                stat_acc = lap_acc
+            else:
+                stat_acc = tuple(a + sv for a, sv in zip(stat_acc, lap_acc))
         if goal_append:
             # goal appended as an extra recorded row (tests/ilqr_test.py:51)
-            xs_rec = _set_goal(xs_rec, t + 1, scenarios.goal)
+            xs_rec = _set_goal(xs_rec, t + 1, scen_p.goal)
             n_valid = t + 2
         else:
             # goal snapped onto the final row (iterative_ilqr tests variant)
-            xs_rec = _set_goal(xs_rec, t, scenarios.goal)
+            xs_rec = _set_goal(xs_rec, t, scen_p.goal)
             n_valid = t + 1
         ss = add_lap(ss, lap_count, xs_rec, n_valid)
+        if retile_frac is not None:
+            # lap rows are reported in ORIGINAL lane order; the permutation
+            # may differ between laps, so scatter back per lap
+            t = jnp.zeros_like(t).at[orig_id].set(t)
+            done = jnp.zeros_like(done).at[orig_id].set(done)
         lap_steps = lap_steps.at[lap_i].set(t)
         lap_done = lap_done.at[lap_i].set(done)
-        return ss, key, lap_steps, lap_done, stat_acc
+        return ss, key, lap_steps, lap_done, stat_acc, scen_p, orig_id
 
     acc0 = (tuple(jnp.zeros((b,), jnp.float32) for _ in range(3))
             if stats_on else ())
     init = (ss0, key, jnp.zeros((num_laps, b), jnp.int32),
-            jnp.zeros((num_laps, b), bool), acc0)
-    ss, key, lap_steps, lap_done, stat_acc = jax.lax.fori_loop(
+            jnp.zeros((num_laps, b), bool), acc0, scenarios,
+            jnp.arange(b, dtype=jnp.int32))
+    ss, key, lap_steps, lap_done, stat_acc, _scen, orig_id = jax.lax.fori_loop(
         0, num_laps, lap_loop, init)
+    if retile_frac is not None:
+        # restore ORIGINAL lane order on the lane-permuted outputs
+        inv = _unpermute_idx(orig_id, b)
+        ss = _permute_lanes(ss, inv)
+        if stats_on:
+            stat_acc = _permute_lanes(stat_acc, inv)
     return SoaRunResult(lap_steps=lap_steps, lap_done=lap_done,
                         final_x=scenarios.goal, safe_set=ss,
                         lap_count=lap0 + num_laps, final_key=key,

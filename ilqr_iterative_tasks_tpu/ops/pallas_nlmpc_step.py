@@ -60,6 +60,7 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                            qsort_skip: bool = False,
                            mode: str = "spaceVarying",
                            all_iter: bool = False,
+                           all_rev_skip: bool = False,
                            stream_safe_set: bool = False,
                            with_stats: bool = False,
                            interpret: bool = False):
@@ -131,6 +132,26 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     terminates at tile level once every active lane is skipped (the skip
     predicate is monotone in position). Validated bit-for-bit in
     tests/test_pallas_nlmpc_step.py.
+
+    ``all_rev_skip`` (mode='all', nsi=1, no all_iter): strict-descent
+    dominance scan for the widest candidate sweep. With a single lap row
+    the lexicographic row comparison is vacuous and the candidate cost
+    hzn + Qfun is STRICTLY decreasing in stored position (Qfun =
+    lap_len-1-t, base.py:346) — the first-min argmin is therefore the
+    LAST feasible position and no cost ties exist. The kernel scans
+    positions DESCENDING: once a lane has a feasible candidate, every
+    remaining (earlier) position is strictly dominated and enters the LM
+    loop pre-done; a rigorous reachability bound additionally pre-skips
+    the far field (the projected-LM rollout clips |a| <= a_max, so the
+    xy displacement over <= n steps is bounded by n*|v0|*dt +
+    a_max*dt^2*n^2/2; any candidate beyond that +1.0 margin must fail
+    the 1e-4 terminal equality on the verification rollout, so its
+    verdict is KNOWN infeasible without solving — valid for the h1 reach
+    check too since its 1e-3 tolerance < the margin). The position loop
+    terminates at tile level once every active lane has found its winner
+    (all-infeasible lanes keep it alive through position 0, preserving
+    the slot-0 fallback). BITWISE-neutral vs the forward scan — validated
+    in tests/test_pallas_nlmpc_step.py.
     """
     tile = tile_rows * 128
     n = num_horizon
@@ -152,6 +173,15 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     if all_mode and with_stats:
         raise ValueError("with_stats is instrumented for the block modes "
                          "(spaceVarying/timeVarying) only")
+    if all_rev_skip:
+        if not all_mode:
+            raise ValueError("all_rev_skip is the mode='all' dominance scan")
+        if all_iter or int(params.num_ss_iter) != 1:
+            raise ValueError(
+                "all_rev_skip requires a SINGLE lap row (nsi=1, no "
+                "all_iter): the lexicographic row comparison across laps "
+                "needs every position's cost, which the dominance scan "
+                "skips")
     if all_iter and not all_mode:
         raise ValueError("all_iter widens the lap window of mode='all'")
     if all_mode and not stream_safe_set:
@@ -171,6 +201,12 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
             "with nsi > 1 the lexicographic ROW comparison depends on every "
             "candidate's cost, so skipped solves would change selection")
     t_rows = max_steps
+    # all_rev_skip reachability bound (see docstring): xy displacement over
+    # m <= n steps of the |a| <= a_max-clipped rollout is bounded by
+    # n*|v0|*dt + a_max*dt^2*n^2/2; +1.0 margin dominates both the 1e-4
+    # terminal tolerance and the h1 reach check's 1e-3 (f32 rounding ≪).
+    _rb_v = float(n) * float(dt)
+    _rb_c = float(limits.a_max) * float(dt) ** 2 * n * n / 2.0 + 1.0
     consts = bake_nlmpc_consts(limits, dt)
     shp = (tile_rows, 128)
     nc = nsi * k
@@ -344,7 +380,64 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                         cand_ok[ci] = jnp.isfinite(dmin).astype(jnp.float32)
                         d = jnp.where(m, inf, d)
 
-            if all_mode:
+            if all_mode and all_rev_skip:
+                # --- mode='all', nsi=1: strict-descent dominance scan (see
+                # docstring). Single lap row; cost = hzn + Qfun strictly
+                # decreases in position, so the first-min argmin is the
+                # LAST feasible position and no ties exist: scan positions
+                # DESCENDING; found lanes pre-skip every remaining
+                # (strictly dominated) position, the reachability bound
+                # pre-skips the far field, and the loop ends at tile level
+                # once every active lane has found its winner. ---
+                load_lap(0)
+                ll = ll_ref[s_ref[0]]  # (tile,) i32
+                lap_ok = s_ref[n_offs] > 0
+                best_row = jnp.zeros(shp, jnp.int32)
+                len_sel = jnp.broadcast_to(ll.reshape(shp), shp)
+                inf_t = jnp.full(shp, jnp.inf, jnp.float32)
+                rbound = _rb_v * jnp.abs(x0c[2]) + _rb_c  # (shp) f32
+                rbound2 = rbound * rbound
+
+                def solve_rev(state):
+                    # alive is the tile-level early-termination flag (f32
+                    # scalar — Mosaic miscompiles i1 while carries)
+                    p, alive, best_cost, best_pos = state
+                    tt = t_rows - 1 - p
+                    st_row = st_vmem[pl.ds(tt, 1)]  # (1, 4, tile)
+                    xt = tuple(st_row[0, c].reshape(shp) for c in range(4))
+                    qv = qf_vmem[pl.ds(tt, 1)][0].reshape(shp)
+                    ok_f = ((tt < ll) & lap_ok).astype(
+                        jnp.float32).reshape(shp)
+                    found = best_cost < inf
+                    dxy2 = ((xt[0] - x0c[0]) ** 2 + (xt[1] - x0c[1]) ** 2)
+                    lane_skip = found | (dxy2 > rbound2)
+                    done0 = jnp.maximum(
+                        jnp.maximum(solve_skip_f, 1.0 - ok_f),
+                        lane_skip.astype(jnp.float32))
+                    _us, _xs, _te, feasible = F.feasibility_solve(
+                        x0c, xt, obs, warm, done0, max_iters, num_starts,
+                        skip_converged_starts=zeros_skip)
+                    feas = feas_of(xt, feasible)
+                    cost = jnp.where((feas > 0.5) & (ok_f > 0.5)
+                                     & ~lane_skip, hzn_f + qv, inf)
+                    upd = cost < best_cost
+                    best_cost = jnp.where(upd, cost, best_cost)
+                    best_pos = jnp.where(upd, tt, best_pos)
+                    # all-infeasible lanes keep the loop alive through
+                    # position 0 (their fallback is best_pos = 0, cost inf)
+                    alive_nxt = jnp.max(
+                        (1.0 - skip_f)
+                        * (best_cost >= inf).astype(jnp.float32))
+                    return p + 1, alive_nxt, best_cost, best_pos
+
+                fin_r = jax.lax.while_loop(
+                    lambda s: (s[0] < t_rows) & (s[1] > 0.5), solve_rev,
+                    (jnp.int32(0), jnp.float32(1.0), inf_t,
+                     jnp.zeros(shp, jnp.int32)))
+                _p_r, _a_r, best_cost, best_pos = fin_r
+                idx_sel = best_pos
+                best_idx = best_pos.reshape(tile)
+            elif all_mode:
                 # --- mode='all': every stored point of each lap row is a
                 # candidate (base.py:569-571). Per row: solve all T
                 # positions in one fori_loop (positions past the lap length
@@ -419,7 +512,9 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                     best_idx = jnp.where(better, tt, best_idx)
                 idx_sel = best_idx.reshape(shp)
                 best_cost = best_cost_f.reshape(shp)
-                # second pass: winner terminal + successor extraction
+            if all_mode:
+                # second pass (shared by both all-mode scan variants):
+                # winner terminal + successor extraction
                 xt_sel = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
                 x_succ = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
                 for off in range(n_offs):
@@ -820,5 +915,6 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     solve_api.with_stats = with_stats
     solve_api.mode = mode
     solve_api.all_iter = all_iter
+    solve_api.all_rev_skip = all_rev_skip
     solve_api.stream_safe_set = stream_safe_set
     return solve_api

@@ -345,3 +345,35 @@ def test_lex_argmin_tile_matches_python_list_min():
                 assert br[a, b] == want_row, (cost[:, :, a, b], br[a, b])
                 assert bc[a, b] == want_col
                 assert bcost[a, b] == cost[want_row, want_col, a, b]
+
+
+def test_retile_bitwise_neutral():
+    """Periodic straggler re-tiling (``retile_frac``, VERDICT r4 #1) is a
+    pure schedule change: all per-lane state (solver carry, records, safe
+    set, scenario leaves) permutes together, noise draws are routed by the
+    carried original lane ids, and outputs return in original lane order —
+    so the run must be BITWISE identical to retile off. Randomized
+    heterogeneous scenarios + noise exercise per-lane divergence."""
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        SoaScenarios, simulate_learning_runs_soa)
+
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    scs = SoaScenarios.randomized(np.zeros(4), xcl[-1], obstacle, 48,
+                                  jax.random.PRNGKey(42), noise_on=True,
+                                  dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=12,
+              sim_step_budget=50)
+    key = jax.random.PRNGKey(7)
+    base = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                      121, 1.0, key, **kw)
+    rt = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                    121, 1.0, key, retile_frac=0.2, **kw)
+    np.testing.assert_array_equal(np.asarray(base.lap_steps),
+                                  np.asarray(rt.lap_steps))
+    np.testing.assert_array_equal(np.asarray(base.lap_done),
+                                  np.asarray(rt.lap_done))
+    for j in range(4):
+        np.testing.assert_array_equal(np.asarray(base.safe_set[j]),
+                                      np.asarray(rt.safe_set[j]))
+    np.testing.assert_array_equal(np.asarray(base.final_key),
+                                  np.asarray(rt.final_key))

@@ -258,3 +258,33 @@ def test_nlmpc_infeasible_retire_within_envelope():
     end = np.asarray(ret.streaks[1])
     done = np.asarray(ret.lap_done)
     assert ((end >= 8) & ~done).any()
+
+
+def test_nlmpc_retile_bitwise_neutral():
+    """NLMPC mirror of test_batched.py::test_retile_bitwise_neutral —
+    ``retile_frac`` is a pure schedule change (per-lane state incl. warm
+    starts, shrinking horizons, streaks and the retired flags permute
+    together; noise routes by original lane id) so the run must be BITWISE
+    identical to retile off, including through the infeasible-retire path
+    whose retired lanes are exactly what the partition compacts away."""
+    params, limits, scs, seed_xs, seed_us, _, _ = _setup(64, noise_on=True)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, max_lm_iters=10,
+              sim_step_budget=60, infeasible_retire=4,
+              with_streak_stats=True)
+    key = jax.random.PRNGKey(11)
+    base = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                   121, 1.0, key, **kw)
+    rt = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                 121, 1.0, key, retile_frac=0.2, **kw)
+    np.testing.assert_array_equal(np.asarray(base.lap_steps),
+                                  np.asarray(rt.lap_steps))
+    np.testing.assert_array_equal(np.asarray(base.lap_done),
+                                  np.asarray(rt.lap_done))
+    np.testing.assert_array_equal(np.asarray(base.final_x),
+                                  np.asarray(rt.final_x))
+    for j in range(5):
+        np.testing.assert_array_equal(np.asarray(base.safe_set[j]),
+                                      np.asarray(rt.safe_set[j]))
+    for j in range(2):
+        np.testing.assert_array_equal(np.asarray(base.streaks[j]),
+                                      np.asarray(rt.streaks[j]))

@@ -278,3 +278,45 @@ def test_nlmpc_step_kernel_with_stats_bitwise_neutral():
     useful, execd = (np.asarray(v) for v in runs[True].iter_stats)
     assert useful.sum() > 0 and execd.sum() > 0
     assert (useful <= execd + 1e-6).all()
+
+
+@pytest.mark.slow
+def test_nlmpc_step_kernel_all_rev_skip_bitwise():
+    """``all_rev_skip`` (mode='all', nsi=1): the strict-descent dominance
+    scan (descending positions + reachability-bound pre-skip + tile-level
+    early termination) must reproduce the forward full-sweep all-mode
+    kernel BITWISE across a full learning run — cost hzn + Qfun strictly
+    decreases in stored position, so the last feasible position IS the
+    first-min argmin and a skipped solve can never change selection."""
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup(
+        all_ss_point=True)
+    b = 128
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=4, max_lm_iters=8,
+              sim_step_budget=45)
+    key = jax.random.PRNGKey(19)
+    runs = []
+    for rev in (False, True):
+        solver = build_fused_nlmpc_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=4, max_iters=8, tile_rows=1, mode="all",
+            stream_safe_set=True, store_solutions=False, all_rev_skip=rev,
+            interpret=True)
+        runs.append(simulate_nlmpc_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+            pallas_step_solver=solver, **kw))
+    _assert_bitwise(runs[0], runs[1])
+
+
+def test_nlmpc_step_kernel_all_rev_skip_builder_guards():
+    params, limits, *_ = _setup(all_ss_point=True, num_ss_iter=2)
+    kw = dict(num_horizon=6, max_steps=128, max_laps=4, max_iters=8,
+              tile_rows=1, interpret=True)
+    with pytest.raises(ValueError, match="SINGLE lap row"):
+        build_fused_nlmpc_step(params, limits, 1.0, mode="all",
+                               stream_safe_set=True, store_solutions=False,
+                               all_rev_skip=True, **kw)
+    p1, limits1, *_ = _setup()
+    with pytest.raises(ValueError, match="mode='all'"):
+        build_fused_nlmpc_step(p1, limits1, 1.0, all_rev_skip=True, **kw)
