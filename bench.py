@@ -121,8 +121,15 @@ def main():
     # tests/test_batched_nlmpc_soa.py). Attacks the reference's own noise
     # tail: ~5% of lanes end laps in an unrecoverable all-infeasible creep
     # to the 121-step budget (docs/PERF.md "The NLMPC noise tail").
+    # retile_frac=0.25: periodic straggler re-tiling (round 5) — the ~90
+    # feasible-but-creeping noise-tail lanes scattered 1-2 per tile kept
+    # every tile's position loop hot; compacted together they cost ONE hot
+    # tile. BITWISE-identical schedule change (test_batched_nlmpc_soa.py);
+    # measured 42.6k -> 67.4k lap-sims/s at this config (docs/PERF.md
+    # round-5). The i2LQR headline does NOT retile: its budget tail is
+    # replay-mode (already all-skip tiles) and the permutes measured -19%.
     n_kw = dict(num_laps=num_laps, max_steps=max_steps, max_laps=8,
-                max_lm_iters=12, infeasible_retire=8)
+                max_lm_iters=12, infeasible_retire=8, retile_frac=0.25)
     if on_tpu and n_batch % (8 * 128) == 0:
         from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
             build_fused_nlmpc_step)

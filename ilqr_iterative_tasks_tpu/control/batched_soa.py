@@ -130,8 +130,10 @@ def _take_lanes(a, idx):
     element — CLAUDE.md layout rules), while rows of the transposed array
     are contiguous slices the gather handles at near memory bandwidth.
     Measured on v5e at the production shapes (round5_probe permute): the
-    safe-set block (2560, 49152) permutes in ~4.5 ms this way vs ~200 ms
-    direct; (B,)-vector permutes are equal either way.
+    503 MB safe-set block permutes in ~3.9 ms either way (XLA lowers the
+    large 2-D lane gather at ~250 GB/s — the scalar-core cliff applies to
+    the small-row shapes of the layout rules, not here); the transpose
+    form is ~2x faster on the mid-size record blocks and never slower.
     """
     if a.ndim == 1:
         return jnp.take(a, idx, axis=0)
@@ -230,7 +232,8 @@ def _lex_argmin_rows(cost_rows):
                                    "goal_append", "sim_step_budget",
                                    "solver_max_iter", "pallas_solver",
                                    "pallas_step_solver", "dedup_passes",
-                                   "stall_reseed", "retile_frac"))
+                                   "stall_reseed", "retile_frac",
+                                   "precision_islands"))
 def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                scenarios: SoaScenarios, seed_xs, seed_us,
                                seed_len, dt, key, *, num_laps: int,
@@ -243,6 +246,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                dedup_passes: bool = False,
                                stall_reseed: int | None = None,
                                retile_frac: float | None = None,
+                               precision_islands: tuple = (),
                                resume_from=None) -> SoaRunResult:
     """Seed + ``num_laps`` learning laps for B scenarios, batch-trailing.
 
@@ -437,7 +441,10 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             # never run the body), so the launch — whose per-step cost is
             # the 48-tile block-DMA floor, ~0.76 ms at B=49k — is pure
             # waste. lax.cond returns the same zeros directly. Measured
-            # +17% on the i2LQR headline (docs/PERF.md round-5).
+            # ~neutral at B=49152 (134.5k vs 131.4k, within run variance —
+            # one active lane anywhere in the batch keeps the launch) but
+            # free, and it fires through fully-idle phases (small batches,
+            # zero-noise tails). docs/PERF.md round-5.
             def _run_kernel(xa):
                 x_, g0_, skip_ = xa
                 return tuple(pallas_step_solver(
@@ -594,7 +601,8 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                     sol = ilqr_solve_soa(
                         params, limits, obstacle, x0b, x_terms,
                         u_init_kb, params.lamb, dt,
-                        num_horizon=n, max_iter=solver_max_iter)
+                        num_horizon=n, max_iter=solver_max_iter,
+                        precision_islands=precision_islands)
                     sol_us = sol.us
                     x_last = sol.xs[-1]
                     d = jnp.sqrt(sum((x_last[i] - x_terms[i]) ** 2

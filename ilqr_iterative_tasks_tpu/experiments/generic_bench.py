@@ -161,13 +161,80 @@ def bench_crossover(batch: int = 256):
     }), flush=True)
 
 
+def bench_pallas(batch: int = 131072, max_iter: int = 150,
+                 tile_rows: int = 64):
+    """Generic Pallas tile kernel (ops/pallas_generic_ilqr.py) vs the
+    hand-scalarized bicycle per-candidate kernel (ops/pallas_ilqr.py) at
+    equal dims (n=4, m=2, N=6) — the VERDICT r4 #6 comparison. The bicycle
+    kernel additionally computes its control/obstacle barrier stack; the
+    generic rows bracket the honest cost of jvp one-hot Jacobians + the
+    shared core's generated scalarization."""
+    from ilqr_iterative_tasks_tpu.models import double_integrator
+    from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+    from ilqr_iterative_tasks_tpu.ops.ilqr_soa import step_soa
+    from ilqr_iterative_tasks_tpu.ops.pallas_generic_ilqr import (
+        build_generic_ilqr_pallas)
+    from ilqr_iterative_tasks_tpu.ops.pallas_ilqr import (build_fused_ilqr,
+                                                          obstacle_to_lanes)
+    from ilqr_iterative_tasks_tpu.utils.params import (IlqrParams,
+                                                       SystemLimits)
+
+    rng = np.random.default_rng(0)
+    params = IlqrParams.make(dtype=jnp.float32)
+    limits = SystemLimits.make(dtype=jnp.float32)
+    xts = _candidates(batch, rng)
+    x0 = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0, 0.0], jnp.float32)[:, None], (4, batch))
+    u_init = jnp.zeros((6, 2, batch), jnp.float32)
+    lo = [-float(limits.a_max), -float(limits.delta_max_r)]
+    hi = [float(limits.a_max), float(limits.delta_max_r)]
+    gkw = dict(n=4, m=2, matrix_Q=np.asarray(params.matrix_Q, np.float64),
+               matrix_R=np.asarray(params.matrix_R, np.float64),
+               matrix_Qterminal=np.asarray(params.matrix_Qterminal,
+                                           np.float64),
+               u_lower=lo, u_upper=hi, dt=1.0, max_iter=max_iter,
+               num_horizon=6, tile_rows=tile_rows)
+
+    # (a) the hand-scalarized bicycle kernel (incl. barrier cost stack)
+    bike = build_fused_ilqr(params, limits, 1.0, num_horizon=6,
+                            max_iter=max_iter, tile_rows=tile_rows)
+    obs_l = obstacle_to_lanes(Obstacle.absent(dtype=jnp.float32), batch)
+    t_bike = _time(lambda: bike(x0, xts, u_init, obs_l))
+
+    # (b) the bicycle through the GENERIC Pallas kernel (same dynamics)
+    g_bike = build_generic_ilqr_pallas(step_soa, **gkw)
+    t_gb = _time(lambda: g_bike(x0, xts, u_init))
+
+    # (c) the double integrator through the generic Pallas kernel
+    g_di = build_generic_ilqr_pallas(double_integrator.step_comps, **gkw)
+    t_di = _time(lambda: g_di(x0, xts, u_init))
+
+    print(json.dumps({
+        "bench": "generic_pallas_vs_bicycle_kernel", "batch": batch,
+        "backend": jax.default_backend(), "max_iter": max_iter,
+        "tile_rows": tile_rows,
+        "bicycle_fused_solves_per_s": round(batch / t_bike, 1),
+        "bicycle_generic_pallas_solves_per_s": round(batch / t_gb, 1),
+        "double_integrator_generic_pallas_solves_per_s": round(
+            batch / t_di, 1),
+        "generic_vs_bicycle_kernel_ratio": round(t_gb / t_bike, 3),
+    }), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--throughput", action="store_true")
     ap.add_argument("--crossover", action="store_true")
+    ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--max-iter", type=int, default=None)
+    ap.add_argument("--tile-rows", type=int, default=64)
     args = ap.parse_args()
-    if args.throughput or not args.crossover:
+    if args.throughput or not (args.crossover or args.pallas):
         bench_throughput(batch=args.batch or 32768)
     if args.crossover:
         bench_crossover(batch=args.batch or 256)
+    if args.pallas:
+        bench_pallas(batch=args.batch or 131072,
+                     max_iter=args.max_iter or 150,
+                     tile_rows=args.tile_rows)

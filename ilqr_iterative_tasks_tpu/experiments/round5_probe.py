@@ -161,7 +161,7 @@ def cmd_retile():
     print(json.dumps(out), flush=True)
 
 
-def _headline_nlmpc(batch, retile_frac):
+def _headline_nlmpc(batch, retile_frac, ordering="qsort"):
     from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
     from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
         simulate_nlmpc_runs_soa)
@@ -183,7 +183,8 @@ def _headline_nlmpc(batch, retile_frac):
                                  noise_on=True, dtype=dtype)
     solver = build_fused_nlmpc_step(
         params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
-        max_laps=8, max_iters=12, tile_rows=8, qsort_skip=True)
+        max_laps=8, max_iters=12, tile_rows=8,
+        qsort_skip=(ordering == "qsort"), prox_skip=(ordering == "prox"))
     kw = dict(num_laps=3, max_steps=128, max_laps=8, max_lm_iters=12,
               pallas_step_solver=solver, infeasible_retire=8,
               retile_frac=retile_frac)
@@ -220,6 +221,194 @@ def cmd_retile_nlmpc():
     print(json.dumps(out), flush=True)
 
 
+def cmd_prox():
+    """A/B the candidate ordering at the NLMPC headline (VERDICT r4 #5):
+    qsort_skip (q-ascending + first-feasible dominance) vs prox_skip
+    (extraction/proximity order + exact dominance + suffix-min exit),
+    optionally with re-tiling. Both are bitwise-exact orderings; the
+    question is which skip pattern stays tile-coherent under noise."""
+    batch = 49152
+    frac = float(sys.argv[2]) if len(sys.argv) > 2 else None
+    out = {"probe": "nlmpc_ordering_ab", "batch": batch,
+           "retile_frac": frac}
+    for ordering in ("qsort", "prox"):
+        res, best = _headline_nlmpc(batch, frac, ordering=ordering)
+        out[ordering] = {
+            "lap_sims_per_s": round(batch * 3 / best, 1),
+            "completion": round(float(np.asarray(res.lap_done).mean()), 4),
+            "mean_lap_steps": [round(float(v), 2) for v in np.asarray(
+                res.lap_steps, np.float64).mean(-1)]}
+        print(json.dumps({ordering: out[ordering]}), flush=True)
+    print(json.dumps(out), flush=True)
+
+
+def cmd_all_rev():
+    """A/B the mode='all' tier (VERDICT r4 #2): forward full position sweep
+    vs the strict-descent dominance scan (``all_rev_skip`` — bitwise)."""
+    from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
+    from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
+        simulate_nlmpc_runs_soa)
+    from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+    from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
+        build_fused_nlmpc_step)
+    from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+    from ilqr_iterative_tasks_tpu.utils.params import (LmpcParams,
+                                                       SystemLimits)
+
+    dtype = jnp.float32
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    params = LmpcParams.make(all_ss_point=True)
+    limits = SystemLimits.make(dtype=dtype)
+    xcl, ucl = seed_trajectory(1.0)
+    seed_xs = jnp.zeros((128, 4), dtype).at[:121].set(jnp.asarray(xcl, dtype))
+    seed_us = jnp.zeros((128, 2), dtype).at[:120].set(jnp.asarray(ucl, dtype))
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, batch,
+                                 noise_on=True, dtype=dtype)
+    out = {"probe": "all_mode_rev_skip_ab", "batch": batch}
+    sel = sys.argv[3:]
+    for tag, rev in (("forward", False), ("rev_skip", True)):
+        if sel and tag not in sel:
+            continue
+        solver = build_fused_nlmpc_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=8, max_iters=12, tile_rows=8,
+            mode="all", store_solutions=False, stream_safe_set=True,
+            all_rev_skip=rev)
+        kw = dict(num_laps=3, max_steps=128, max_laps=8, max_lm_iters=12,
+                  pallas_step_solver=solver)
+
+        def go(seed):
+            res = simulate_nlmpc_runs_soa(
+                params, limits, scs, seed_xs, seed_us, 121, 1.0,
+                jax.random.PRNGKey(seed), **kw)
+            jax.block_until_ready(res)
+            return res
+
+        res = go(0)
+        t0 = time.perf_counter()
+        go(1)
+        best = time.perf_counter() - t0
+        out[tag] = {
+            "lap_sims_per_s": round(batch * 3 / best, 1),
+            "completion": round(float(np.asarray(res.lap_done).mean()), 4),
+            "mean_lap_steps": [round(float(v), 2) for v in np.asarray(
+                res.lap_steps, np.float64).mean(-1)]}
+        print(json.dumps({tag: out[tag]}), flush=True)
+    print(json.dumps(out), flush=True)
+
+
+def cmd_all_mc():
+    """Host Monte-Carlo of the ss_option='all' noise behavior (VERDICT r4
+    #3, same method as docs/PERF.md "The 0.3%" / "The NLMPC noise tail"):
+    run the reference-faithful host controller (control/nlmpc.py,
+    all_ss_point=True) over fresh noise seeds and record, per lap, the
+    step count, completion, and the per-step feasibility history. The
+    batched `all` tier's ~5.9% non-completion is attributed to
+    feasible-but-creeping lanes — if that mode is the reference's own,
+    host laps must hit the 121-step budget WITH (almost) no
+    all-infeasible steps, at a comparable per-lap rate."""
+    jax.config.update("jax_platforms", "cpu")  # host controller is eager
+    from ilqr_iterative_tasks_tpu.control.nlmpc import NlmpcController
+    from ilqr_iterative_tasks_tpu.experiments.runner import (
+        default_obstacle, run_closed_loop)
+    from ilqr_iterative_tasks_tpu.utils.params import LmpcParams
+
+    args = sys.argv[2:]
+    n_seeds = int(args[0]) if args else 12
+    laps = int(args[1]) if len(args) > 1 else 3
+    per_lap = []
+    for sd in range(n_seeds):
+        params = LmpcParams.make(all_ss_point=True)
+        ctrl = NlmpcController(params, obstacle=default_obstacle(1.0),
+                               dtype=jnp.float64)
+        rng = np.random.default_rng(1000 + sd)
+        res = run_closed_loop(ctrl, lap_number=laps, dt=1.0,
+                              zero_noise=False, goal_fixup=None, rng=rng)
+        feas_hist = res.plant.diagnostics["feasibility"]
+        for li in range(laps):
+            fl = np.asarray(feas_hist[li + 0]) if li < len(feas_hist) else \
+                np.asarray([])
+            row = {
+                "seed": sd, "lap": li,
+                "steps": int(res.lap_times[li]),
+                "finished": bool(res.lap_finished[li]),
+                "infeasible_steps": int((fl == 0).sum()),
+                "total_steps_rec": int(fl.size),
+            }
+            per_lap.append(row)
+            print(json.dumps(row), flush=True)
+    unfinished = [r for r in per_lap if not r["finished"]]
+    print(json.dumps({
+        "probe": "all_mode_host_mc", "seeds": n_seeds, "laps": laps,
+        "lap_count": len(per_lap),
+        "unfinished": len(unfinished),
+        "unfinished_rate": round(len(unfinished) / max(len(per_lap), 1), 4),
+        "unfinished_infeasible_steps": [r["infeasible_steps"]
+                                        for r in unfinished],
+        "mean_lap_steps": round(float(np.mean([r["steps"]
+                                               for r in per_lap])), 2),
+    }), flush=True)
+
+
+def cmd_f32_bisect():
+    """TPU-f32 decision-gap bisect (VERDICT r4 #4): the hardware zero-noise
+    closed loop converges to [54, 29, 26] vs the CPU/reference [54, 27, 24]
+    (docs/PARITY.md). Which op flips the first LM accept/reject? Runs the
+    zero-noise closed loop ON THE CHIP through the XLA SoA backend with
+    selective f64 islands in the solver (ops/ilqr_soa.py
+    ``precision_islands``): trig (dynamics/Jacobian sin/cos), exp (barrier
+    exponentials), cost (f64 cost accumulation + LM compares), plus full
+    f64 and the f32 baseline. x64 is enabled for the island casts; every
+    variant (incl. the baseline) runs under it."""
+    jax.config.update("jax_enable_x64", True)
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        SoaScenarios, simulate_learning_runs_soa)
+    from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
+    from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
+    from ilqr_iterative_tasks_tpu.utils.params import (IlqrParams,
+                                                       SystemLimits)
+
+    b = 256
+    out = {"probe": "tpu_f32_decision_bisect", "batch": b,
+           "backend": jax.default_backend()}
+    variants = [("f32_base", jnp.float32, ()),
+                ("f64_full", jnp.float64, ()),
+                ("f32_trig64", jnp.float32, ("trig",)),
+                ("f32_exp64", jnp.float32, ("exp",)),
+                ("f32_cost64", jnp.float32, ("cost",)),
+                ("f32_all64", jnp.float32, ("trig", "exp", "cost"))]
+    sel = sys.argv[2:]
+    for tag, dtype, islands in variants:
+        if sel and tag not in sel:
+            continue
+        params = IlqrParams.make(dtype=dtype)
+        limits = SystemLimits.make(dtype=dtype)
+        xcl, ucl = seed_trajectory(1.0)
+        seed_xs = jnp.zeros((128, 4), dtype).at[:121].set(
+            jnp.asarray(xcl, dtype))
+        seed_us = jnp.zeros((128, 2), dtype).at[:120].set(
+            jnp.asarray(ucl, dtype))
+        obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=dtype)
+        scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
+                                     noise_on=False, dtype=dtype)
+        res = simulate_learning_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0,
+            jax.random.PRNGKey(0), num_laps=3, max_steps=128, max_laps=8,
+            precision_islands=islands)
+        jax.block_until_ready(res)
+        steps = np.asarray(res.lap_steps)
+        lanes_eq = bool((steps == steps[:, :1]).all())
+        out[tag] = {"lap_steps": [int(v) for v in steps[:, 0]],
+                    "all_lanes_identical": lanes_eq,
+                    "completion": round(
+                        float(np.asarray(res.lap_done).mean()), 4)}
+        print(json.dumps({tag: out[tag]}), flush=True)
+    print(json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":
     {"permute": cmd_permute, "retile": cmd_retile,
-     "retile_nlmpc": cmd_retile_nlmpc}[sys.argv[1]]()
+     "retile_nlmpc": cmd_retile_nlmpc, "all_mc": cmd_all_mc,
+     "f32_bisect": cmd_f32_bisect, "prox": cmd_prox,
+     "all_rev": cmd_all_rev}[sys.argv[1]]()

@@ -70,15 +70,27 @@ def _quu_inv_2x2(q00, q01, q11, lamb):
     return (alpha + beta * q00, beta * q01, alpha + beta * q11)
 
 
-def build_generic_ilqr_soa(step_comps: Callable, *, n: int, m: int,
-                           matrix_Q, matrix_R, matrix_Qterminal,
-                           u_lower, u_upper, dt,
-                           eps: float = 1e-2, lamb_factor: float = 10.0,
-                           max_lamb: float = 1000.0, max_iter: int = 150,
-                           num_horizon: int = 6):
-    """Factory: returns a jitted
-    ``solve(x0 (n,*S), x_terminal (n,*S), u_init (N,m,*S), lamb0)``
-    -> GenericSoaSolution for the user system.
+class _GenericCore(NamedTuple):
+    """Shape-polymorphic solver pieces shared by the XLA SoA wrapper below
+    and the Pallas tile kernel (ops/pallas_generic_ilqr.py): every function
+    operates on tuples of per-component arrays of ANY shape (the batch is
+    whatever shape the components carry — (*S,) lanes for XLA, the
+    (tile_rows, 128) tile for Pallas)."""
+    clip_u: Callable
+    step_t: Callable
+    rollout: Callable
+    cost_of: Callable
+    backward: Callable
+    forward: Callable
+    flatten: Callable
+    unflatten: Callable
+
+
+def make_generic_core(step_comps: Callable, *, n: int, m: int,
+                      matrix_Q, matrix_R, matrix_Qterminal,
+                      u_lower, u_upper, dt,
+                      num_horizon: int = 6) -> _GenericCore:
+    """Build the shared scalarized solver core for a user system.
 
     ``step_comps(x_tuple, u_tuple, dt) -> x_tuple`` operates on tuples of
     per-component batch arrays (write it exactly like a scalar step; jnp
@@ -309,6 +321,31 @@ def build_generic_ilqr_soa(step_comps: Callable, *, n: int, m: int,
     def unflatten(flat):
         return [tuple(flat[i * m + a] for a in range(m))
                 for i in range(nh)]
+
+    return _GenericCore(clip_u=clip_u, step_t=step_t, rollout=rollout,
+                        cost_of=cost_of, backward=backward, forward=forward,
+                        flatten=flatten, unflatten=unflatten)
+
+
+def build_generic_ilqr_soa(step_comps: Callable, *, n: int, m: int,
+                           matrix_Q, matrix_R, matrix_Qterminal,
+                           u_lower, u_upper, dt,
+                           eps: float = 1e-2, lamb_factor: float = 10.0,
+                           max_lamb: float = 1000.0, max_iter: int = 150,
+                           num_horizon: int = 6):
+    """Factory: returns a jitted
+    ``solve(x0 (n,*S), x_terminal (n,*S), u_init (N,m,*S), lamb0)``
+    -> GenericSoaSolution for the user system (core math shared with the
+    Pallas tile kernel via ``make_generic_core``)."""
+    core = make_generic_core(step_comps, n=n, m=m, matrix_Q=matrix_Q,
+                             matrix_R=matrix_R,
+                             matrix_Qterminal=matrix_Qterminal,
+                             u_lower=u_lower, u_upper=u_upper, dt=dt,
+                             num_horizon=num_horizon)
+    clip_u, rollout, cost_of = core.clip_u, core.rollout, core.cost_of
+    backward, forward = core.backward, core.forward
+    flatten, unflatten = core.flatten, core.unflatten
+    nh = num_horizon
 
     def solve(x0, x_terminal, u_init, lamb0):
         dtype = x_terminal.dtype

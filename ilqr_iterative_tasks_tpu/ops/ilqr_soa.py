@@ -67,16 +67,25 @@ class IlqrSoaSolution(NamedTuple):
     cost: jnp.ndarray  # (*S)
 
 
-@partial(jax.jit, static_argnames=("num_horizon", "max_iter"))
+@partial(jax.jit, static_argnames=("num_horizon", "max_iter",
+                                   "precision_islands"))
 def ilqr_solve_soa(params: IlqrParams, limits: SystemLimits,
                    obstacle: Obstacle, x0, x_terminal, u_init, lamb0, dt,
                    *, num_horizon: int,
-                   max_iter: int | None = None) -> IlqrSoaSolution:
+                   max_iter: int | None = None,
+                   precision_islands: tuple = ()) -> IlqrSoaSolution:
     """Batched iLQR solve, batch-trailing layout.
 
     x0: (4, *S) or (4,); x_terminal: (4, *S); u_init: (N, 2, *S); lamb0:
     scalar or (*S). Per-lane semantics identical to ops.ilqr.ilqr_solve.
     ``max_iter`` optionally caps params.max_ilqr_iter for throughput paths.
+
+    ``precision_islands`` (parity tooling for the TPU-f32 decision-gap
+    bisect, docs/PARITY.md): a subset of {"trig", "exp", "cost"} evaluated
+    in f64 inside the otherwise-f32 solve (requires jax_enable_x64) —
+    "trig" = the dynamics/Jacobian sin/cos, "exp" = the barrier
+    exponentials, "cost" = f64 cost accumulation (which also makes the LM
+    accept/convergence compares f64). Empty (default) = production f32.
     """
     n = num_horizon
     dtype = x_terminal.dtype
@@ -84,6 +93,27 @@ def ilqr_solve_soa(params: IlqrParams, limits: SystemLimits,
     dt = jnp.asarray(dt, dtype)
     if max_iter is None:
         max_iter = params.max_ilqr_iter
+    hi_trig = "trig" in precision_islands
+    hi_exp = "exp" in precision_islands
+    hi_cost = "cost" in precision_islands
+
+    def _sincos(th):
+        if hi_trig:
+            t64 = th.astype(jnp.float64)
+            return jnp.sin(t64).astype(dtype), jnp.cos(t64).astype(dtype)
+        return jnp.sin(th), jnp.cos(th)
+
+    def _exp(z):
+        if hi_exp:
+            return jnp.exp(z.astype(jnp.float64)).astype(dtype)
+        return jnp.exp(z)
+
+    def _step_l(x, u):
+        px, py, v, th = x
+        ua, ud = u
+        arc = v * dt + 0.5 * ua * dt * dt
+        s_t, c_t = _sincos(th)
+        return (px + c_t * arc, py + s_t * arc, v + ua * dt, th + ud * dt)
     if x0.ndim == 1:
         x0 = jnp.broadcast_to(x0.reshape((4,) + (1,) * len(bshape)),
                               (4,) + bshape)
@@ -100,18 +130,24 @@ def ilqr_solve_soa(params: IlqrParams, limits: SystemLimits,
     inv_a2 = obstacle.present / (obstacle.width ** 2)
     inv_b2 = obstacle.present / (obstacle.height ** 2)
 
+    cost_dtype = jnp.float64 if hi_cost else dtype
+
     def quad4(m, d):
         acc = 0.0
         for i in range(4):
             for j in range(4):
-                acc = acc + m[i, j] * d[i] * d[j]
+                acc = acc + (m[i, j].astype(cost_dtype)
+                             * d[i].astype(cost_dtype)
+                             * d[j].astype(cost_dtype))
         return acc
 
     def quad2(m, u):
         acc = 0.0
         for i in range(2):
             for j in range(2):
-                acc = acc + m[i, j] * u[i] * u[j]
+                acc = acc + (m[i, j].astype(cost_dtype)
+                             * u[i].astype(cost_dtype)
+                             * u[j].astype(cost_dtype))
         return acc
 
     def clip_u(u):
@@ -121,11 +157,11 @@ def ilqr_solve_soa(params: IlqrParams, limits: SystemLimits,
     def rollout(us):
         xs = [x0c]
         for i in range(n):
-            xs.append(step_soa(xs[-1], us[i], dt))
+            xs.append(_step_l(xs[-1], us[i]))
         return xs
 
     def loop_cost(xs, us):
-        cost = jnp.zeros(bshape, dtype)
+        cost = jnp.zeros(bshape, cost_dtype)
         for i in range(n):
             cost = cost + quad4(q_m, xs[i]) + quad2(r_m, us[i])
         dterm = tuple(xs[n][i] - xt[i] for i in range(4))
@@ -141,7 +177,7 @@ def ilqr_solve_soa(params: IlqrParams, limits: SystemLimits,
         dy = py - cy
         hval = (1.0 + params.safety_margin
                 - (dz * dz * inv_a2 + dy * dy * inv_b2))
-        e = obstacle.present * jnp.exp(q2o * hval)
+        e = obstacle.present * _exp(q2o * hval)
         hd0 = -2.0 * inv_a2 * dz
         hd1 = -2.0 * inv_b2 * dy
         return q1o * q2o * e, q1o * q2o * q2o * e, hd0, hd1
@@ -176,7 +212,7 @@ def ilqr_solve_soa(params: IlqrParams, limits: SystemLimits,
             th_n = xs[i + 1][3]
             ua, ud = us[i]
             arc = v_nx * dt + 0.5 * ua * dt * dt
-            sin_t, cos_t = jnp.sin(th_n), jnp.cos(th_n)
+            sin_t, cos_t = _sincos(th_n)
             a02 = cos_t * dt
             a03 = -arc * sin_t
             a12 = sin_t * dt
@@ -185,10 +221,10 @@ def ilqr_solve_soa(params: IlqrParams, limits: SystemLimits,
             b10 = 0.5 * dt * dt * sin_t
 
             # stage cost derivatives at (x_i, u_i)
-            ea_hi = jnp.exp(q2c * (ua - limits.a_max))
-            ea_lo = jnp.exp(q2c * (-limits.a_max - ua))
-            ed_hi = jnp.exp(q2c * (ud - limits.delta_max_r))
-            ed_lo = jnp.exp(q2c * (-limits.delta_max_r - ud))
+            ea_hi = _exp(q2c * (ua - limits.a_max))
+            ea_lo = _exp(q2c * (-limits.a_max - ua))
+            ed_hi = _exp(q2c * (ud - limits.delta_max_r))
+            ed_lo = _exp(q2c * (-limits.delta_max_r - ud))
             lu0 = (2.0 * (r_m[0, 0] * ua + r_m[0, 1] * ud)
                    + q1c * q2c * (ea_hi - ea_lo))
             lu1 = (2.0 * (r_m[1, 0] * ua + r_m[1, 1] * ud)
@@ -296,7 +332,7 @@ def ilqr_solve_soa(params: IlqrParams, limits: SystemLimits,
         x_new = xs[0]
         us_new = []
         xs_new = [x_new]
-        cost = jnp.zeros(bshape, dtype)
+        cost = jnp.zeros(bshape, cost_dtype)
         for i in range(n):
             dx = tuple(x_new[j] - xs[i][j] for j in range(4))
             krow0, krow1 = big_ks[i]
@@ -309,7 +345,7 @@ def ilqr_solve_soa(params: IlqrParams, limits: SystemLimits,
             u_new = clip_u((u0, u1))
             dxt = tuple(x_new[j] - xt[j] for j in range(4))
             cost = cost + quad4(q_m, dxt) + quad2(r_m, u_new)
-            x_new = step_soa(x_new, u_new, dt)
+            x_new = _step_l(x_new, u_new)
             us_new.append(u_new)
             xs_new.append(x_new)
         dterm = tuple(x_new[j] - xt[j] for j in range(4))
@@ -354,4 +390,4 @@ def ilqr_solve_soa(params: IlqrParams, limits: SystemLimits,
     return IlqrSoaSolution(
         us=pack_us(us),
         xs=jnp.stack([jnp.stack(x) for x in xs]),
-        lamb=lamb, n_iters=n_iters, cost=cost)
+        lamb=lamb, n_iters=n_iters, cost=cost.astype(dtype))

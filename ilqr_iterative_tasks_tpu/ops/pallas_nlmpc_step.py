@@ -61,6 +61,7 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                            mode: str = "spaceVarying",
                            all_iter: bool = False,
                            all_rev_skip: bool = False,
+                           prox_skip: bool = False,
                            stream_safe_set: bool = False,
                            with_stats: bool = False,
                            interpret: bool = False):
@@ -133,6 +134,21 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     predicate is monotone in position). Validated bit-for-bit in
     tests/test_pallas_nlmpc_step.py.
 
+    ``prox_skip`` (nsi=1, block modes; mutually exclusive with
+    ``qsort_skip``): temporal-coherence candidate ordering (VERDICT r4 #5)
+    in its EXACT form. Candidates solve in EXTRACTION order — for
+    spaceVarying that is ascending L1 distance from the terminal guess,
+    which is proximity to the PREVIOUS winner (the guess advance re-centers
+    on it each step), so position 0 is usually feasible immediately — with
+    the exact per-candidate dominance skip (a candidate whose known cost
+    hzn + q is >= the running best enters the LM loop pre-done; ties keep
+    the earlier slot, so the non-strict skip is selection-exact) and a
+    SUFFIX-MIN-q tile exit (the position loop ends once every active
+    lane's remaining candidates are dominated — q is not monotone in
+    extraction order, so the exit tests min over the remaining suffix).
+    BITWISE-neutral (tests/test_pallas_nlmpc_step.py); the A/B against
+    qsort_skip under noise is docs/PERF.md round-5.
+
     ``all_rev_skip`` (mode='all', nsi=1, no all_iter): strict-descent
     dominance scan for the widest candidate sweep. With a single lap row
     the lexicographic row comparison is vacuous and the candidate cost
@@ -173,6 +189,19 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     if all_mode and with_stats:
         raise ValueError("with_stats is instrumented for the block modes "
                          "(spaceVarying/timeVarying) only")
+    if prox_skip:
+        if qsort_skip:
+            raise ValueError("prox_skip and qsort_skip are alternative "
+                             "candidate orderings — enable one")
+        if all_mode:
+            raise ValueError("prox_skip orders the extracted candidate "
+                             "block; mode='all' has its own dominance scan "
+                             "(all_rev_skip)")
+        if int(params.num_ss_iter) != 1:
+            raise ValueError("prox_skip requires nsi=1 (the lexicographic "
+                             "row comparison needs every candidate's cost)")
+        if with_stats:
+            raise ValueError("with_stats is not instrumented for prox_skip")
     if all_rev_skip:
         if not all_mode:
             raise ValueError("all_rev_skip is the mode='all' dominance scan")
@@ -649,6 +678,74 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
                     best_col = best_slot
                     ci_sel = best_slot
                     store_sel = best_pos  # solutions are stored by POSITION
+                elif prox_skip:
+                    # --- proximity-order dominance skip (exact; see
+                    # factory docstring). Candidate index == position ==
+                    # original slot, so dynamic scratch loads replace the
+                    # qsort branch's per-lane rank selects, ties resolve
+                    # naturally in slot order, and the all-infeasible
+                    # fallback is the always-solved slot 0. ---
+                    inf_t = jnp.full(shp, jnp.inf, jnp.float32)
+                    qe = [jnp.where(cand_ok[j].reshape(shp) > 0.5,
+                                    cand_q[j].reshape(shp), inf_t)
+                          for j in range(k)]
+                    sufmin = [None] * (k + 1)
+                    sufmin[k] = inf_t
+                    for j in range(k - 1, -1, -1):
+                        sufmin[j] = jnp.minimum(qe[j], sufmin[j + 1])
+
+                    def solve_prox(state):
+                        # alive is the tile-level early-termination flag
+                        # (f32 scalar — Mosaic miscompiles i1 while carries)
+                        p, alive, best_cost, best_slot = state
+                        row = cand_xt[pl.ds(p, 1)]  # (1, 4, tile)
+                        xt = tuple(row[0, c].reshape(shp) for c in range(4))
+                        q_p = cand_q[pl.ds(p, 1)][0].reshape(shp)
+                        ok_p = cand_ok[pl.ds(p, 1)][0].reshape(shp)
+                        q_eff = jnp.where(ok_p > 0.5, q_p, inf_t)
+                        # non-strict dominance is selection-exact here: a
+                        # tie (hzn + q == best) cannot update the first-min
+                        # argmin (upd is strict <, earlier slot wins)
+                        lane_skip = (hzn_f + q_eff >= best_cost) & (p > 0)
+                        skip_all = jnp.maximum(
+                            solve_skip_f, lane_skip.astype(jnp.float32))
+                        us, _xs, _te, feasible = F.feasibility_solve(
+                            x0c, xt, obs, warm, skip_all, max_iters,
+                            num_starts, skip_converged_starts=zeros_skip)
+                        if store_solutions:
+                            for i in range(n):
+                                sol_us[p, i, 0] = us[i][0].reshape(tile)
+                                sol_us[p, i, 1] = us[i][1].reshape(tile)
+                        feas = feas_of(xt, feasible)
+                        cost = jnp.where((feas > 0.5) & (ok_p > 0.5)
+                                         & ~lane_skip, hzn_f + q_p, inf)
+                        upd = cost < best_cost
+                        best_next = jnp.where(upd, cost, best_cost)
+                        slot_next = jnp.where(upd, p, best_slot)
+                        # suffix-min tile exit: a lane is finished once
+                        # every REMAINING candidate is dominated
+                        # (hzn + min_{j>p} q_j >= best; an all-inf suffix
+                        # retires the lane too — those solves would be
+                        # pre-done no-ops)
+                        suf_next = inf_t
+                        for j in range(k):
+                            suf_next = jnp.where(p == j, sufmin[j + 1],
+                                                 suf_next)
+                        lane_alive = hzn_f + suf_next < best_next
+                        alive_nxt = jnp.max(
+                            (1.0 - skip_f)
+                            * lane_alive.astype(jnp.float32))
+                        return (p + 1, alive_nxt, best_next, slot_next)
+
+                    fin_p = jax.lax.while_loop(
+                        lambda s: (s[0] < k) & (s[1] > 0.5), solve_prox,
+                        (jnp.int32(0), jnp.float32(1.0), inf_t,
+                         jnp.zeros(shp, jnp.int32)))
+                    _pf, _af, best_cost, best_slot = fin_p
+                    best_row = jnp.zeros(shp, jnp.int32)
+                    best_col = best_slot
+                    ci_sel = best_slot
+                    store_sel = best_slot
                 else:
                     # --- solve all candidates (one while_loop instance) ---
                     def solve_ci(ci, _):
@@ -916,5 +1013,6 @@ def build_fused_nlmpc_step(params: LmpcParams, limits: SystemLimits, dt,
     solve_api.mode = mode
     solve_api.all_iter = all_iter
     solve_api.all_rev_skip = all_rev_skip
+    solve_api.prox_skip = prox_skip
     solve_api.stream_safe_set = stream_safe_set
     return solve_api

@@ -22,18 +22,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-
-def pytest_collection_modifyitems(config, items):
-    """Run the i2LQR whole-step-kernel module FIRST.
-
-    Its largest interpret-mode kernel compiles (with_stats / qsort
-    variants) segfault XLA:CPU when they happen late in a long-lived
-    session (reproduced 5x at the same test mid-suite, in
-    backend_compile_and_load and in the persistent-cache put/get of the
-    same program; every standalone run passes). Compiling them first, in
-    a fresh process, avoids whatever compiler state the preceding ~100
-    compilations accumulate. Ordering is otherwise preserved.
-    """
-    heavy = [it for it in items if "test_pallas_i2lqr_step" in it.nodeid]
-    rest = [it for it in items if "test_pallas_i2lqr_step" not in it.nodeid]
-    items[:] = heavy + rest
+# NOTE: the heavy interpret-mode kernel modules run in their own
+# subprocesses via tests/test_isolated_kernel_modules.py (their largest
+# compiles segfault XLA:CPU late in a long-lived session; fresh processes
+# always pass). No collection reordering is needed — suite order is free.

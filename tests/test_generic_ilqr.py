@@ -237,3 +237,60 @@ def test_generic_parallel_backward_converges_like_sequential():
     err_par = float(jnp.linalg.norm(par.xs[-1] - x_term))
     assert err_seq < 0.05 and err_par < 0.05, (err_seq, err_par)
     assert float(par.cost) <= float(seq.cost) * 1.5 + 1e-6
+
+
+def test_generic_pallas_matches_soa_double_integrator():
+    """The generic Pallas tile kernel (ops/pallas_generic_ilqr.py) runs the
+    SAME shared core (make_generic_core) inside a VMEM-resident while_loop
+    — in interpret mode at f32 its solutions must match the XLA SoA generic
+    solver at solution level (costs/rollouts; f32 LM cascades preclude
+    cross-compilation bitwise equality, docs/PARITY.md convention)."""
+    from ilqr_iterative_tasks_tpu.ops.generic_ilqr_soa import (
+        build_generic_ilqr_soa)
+    from ilqr_iterative_tasks_tpu.ops.pallas_generic_ilqr import (
+        build_generic_ilqr_pallas)
+
+    n, m, N = 4, 2, 6
+    b = 256
+    kw = dict(n=n, m=m, matrix_Q=np.zeros((n, n)),
+              matrix_R=0.05 * np.eye(m), matrix_Qterminal=20.0 * np.eye(n),
+              u_lower=-2.0 * np.ones(m), u_upper=2.0 * np.ones(m), dt=0.5,
+              num_horizon=N, max_iter=60)
+    rng = np.random.default_rng(3)
+    x0 = jnp.zeros((n, b), jnp.float32)
+    xts = jnp.asarray(rng.uniform(-4, 4, (n, b)), jnp.float32)
+    u_init = jnp.zeros((N, m, b), jnp.float32)
+    soa = build_generic_ilqr_soa(double_integrator.step_comps, **kw)(
+        x0, xts, u_init, 1.0)
+    pal = build_generic_ilqr_pallas(double_integrator.step_comps,
+                                    tile_rows=1, interpret=True, **kw)(
+        x0, xts, u_init)
+    us_p, xl_p, cost_p, iters_p = pal
+    np.testing.assert_allclose(np.asarray(cost_p), np.asarray(soa.cost),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(xl_p), np.asarray(soa.xs[-1]),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(us_p), np.asarray(soa.us),
+                               atol=2e-3)
+
+
+def test_generic_pallas_nonlinear_unicycle_reach():
+    """Nonlinear 3-state system through the generic Pallas kernel (jvp
+    one-hot Jacobians traced inside the kernel body) reaches the target."""
+    from ilqr_iterative_tasks_tpu.ops.pallas_generic_ilqr import (
+        build_generic_ilqr_pallas)
+
+    n, m, N = 3, 2, 8
+    b = 128
+    solve = build_generic_ilqr_pallas(
+        unicycle.step_comps, n=n, m=m, matrix_Q=np.zeros((n, n)),
+        matrix_R=0.01 * np.eye(m), matrix_Qterminal=30.0 * np.eye(n),
+        u_lower=-1.5 * np.ones(m), u_upper=1.5 * np.ones(m), dt=0.5,
+        num_horizon=N, max_iter=60, tile_rows=1, interpret=True)
+    x0 = jnp.zeros((n, b), jnp.float32)
+    xt = jnp.broadcast_to(jnp.asarray([2.0, 1.0, 0.5], jnp.float32)[:, None],
+                          (n, b))
+    _us, xl, _cost, _it = solve(x0, xt, 0.1 * jnp.ones((N, m, b),
+                                                       jnp.float32))
+    err = np.linalg.norm(np.asarray(xl - xt), axis=0)
+    assert err.max() < 0.05, err

@@ -6,7 +6,21 @@ kNN/extraction/selection math mirrors control/batched_soa.py op-for-op, and
 masked one-hot sums are exact (single non-zero) — so the fused step must be
 BITWISE identical to the composed path, including with skip lanes (done /
 replay) present and across multiple kernel tiles.
+
+PROCESS ISOLATION: this module's largest interpret-mode compiles segfault
+XLA:CPU when they run late in a long-lived pytest process (reproduced 5x
+mid-suite in backend_compile_and_load and in the persistent-cache
+put/get of the same programs; every fresh-process run passes). The suite
+therefore runs this module in its OWN subprocess via
+tests/test_isolated_kernel_modules.py — under plain collection it is
+skipped unless ISOLATED_KERNEL_TESTS=1 (set by the wrapper, or manually
+to run the module directly: ``ISOLATED_KERNEL_TESTS=1 pytest
+tests/test_pallas_i2lqr_step.py``). This replaces the former
+conftest first-in-suite reordering + module-scoped cache-write disable,
+which only dodged the crash for one specific ordering.
 """
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,20 +38,11 @@ from ilqr_iterative_tasks_tpu.utils.params import IlqrParams, SystemLimits
 
 DT = jnp.float32
 
-
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_cache_writes():
-    """Serializing this module's largest interpret-mode step-kernel
-    executables for the persistent compilation cache SEGFAULTS the
-    process (reproduced 3x: jax compilation_cache put_executable_and_time
-    / get_executable_and_time on the with_stats and qsort variants; a
-    crashed write then poisons the entry so later READS crash too).
-    Disable cache writes for this module — the interpret compiles are
-    paid per run instead of crashing the suite."""
-    old = jax.config.jax_persistent_cache_min_compile_time_secs
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
-    yield
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ISOLATED_KERNEL_TESTS") != "1",
+    reason="runs in an isolated subprocess — see "
+           "tests/test_isolated_kernel_modules.py (set "
+           "ISOLATED_KERNEL_TESTS=1 to run this module directly)")
 
 
 def _setup(dtype=DT, **overrides):

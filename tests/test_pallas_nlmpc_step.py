@@ -320,3 +320,30 @@ def test_nlmpc_step_kernel_all_rev_skip_builder_guards():
     p1, limits1, *_ = _setup()
     with pytest.raises(ValueError, match="mode='all'"):
         build_fused_nlmpc_step(p1, limits1, 1.0, all_rev_skip=True, **kw)
+
+
+@pytest.mark.slow
+def test_nlmpc_step_kernel_prox_skip_bitwise():
+    """``prox_skip`` (temporal-coherence / extraction-order dominance skip,
+    the exact variant of VERDICT r4 #5) must be BITWISE neutral vs the
+    plain full-sweep kernel: the non-strict per-candidate dominance skip
+    cannot flip the first-min argmin (ties keep the earlier slot) and the
+    suffix-min tile exit only retires positions that are dominated for
+    every active lane."""
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    b = 128
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, b,
+                                 noise_on=True, dtype=DT)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, max_lm_iters=8,
+              sim_step_budget=70)
+    key = jax.random.PRNGKey(23)
+    runs = []
+    for prox in (False, True):
+        solver = build_fused_nlmpc_step(
+            params, limits, 1.0, num_horizon=params.num_horizon,
+            max_steps=128, max_laps=8, max_iters=8, tile_rows=1,
+            prox_skip=prox, interpret=True)
+        runs.append(simulate_nlmpc_runs_soa(
+            params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
+            pallas_step_solver=solver, **kw))
+    _assert_bitwise(runs[0], runs[1])

@@ -243,3 +243,50 @@ def test_nlmpc_shardmap_with_streak_stats():
         jax.random.PRNGKey(0), mesh, **kw)
     assert len(res.streaks) == 2
     assert np.asarray(res.streaks[0]).shape == (1, 8)
+
+
+@pytest.mark.slow
+def test_nlmpc_all_mode_shardmap_step_kernel_matches_per_shard():
+    """mode='all' (every stored point a candidate — the SURVEY §5
+    long-context axis) through the shard_map production wrapper: the
+    2-device mesh run of the HBM-streamed all-mode step kernel (with the
+    round-5 strict-descent dominance scan) must equal running each shard
+    separately with its fold_in(key, shard) stream — bitwise."""
+    from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
+        build_fused_nlmpc_step)
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    mesh = make_mesh(2)
+    limits, seed_xs, seed_us, _ = _setup(256)
+    xcl, _u = seed_trajectory(1.0)
+    obstacle = Obstacle.make(31.0, -2.0, 8.0, 6.0, dtype=DT)
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 256,
+                                 noise_on=True, dtype=DT)
+    params = LmpcParams.make(all_ss_point=True)
+    solver = build_fused_nlmpc_step(
+        params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
+        max_laps=8, max_iters=8, tile_rows=1, mode="all",
+        stream_safe_set=True, store_solutions=False, all_rev_skip=True,
+        interpret=True)
+    kw = dict(num_laps=1, max_steps=128, max_laps=8, max_lm_iters=8,
+              sim_step_budget=40, pallas_step_solver=solver)
+    key = jax.random.PRNGKey(29)
+    res = simulate_nlmpc_runs_soa_shardmap(
+        params, limits, scs, seed_xs, seed_us, 121, 1.0, key, mesh, **kw)
+
+    halves = []
+    for i in range(2):
+        scs_i = jax.tree_util.tree_map(
+            lambda a: a[..., i * 128:(i + 1) * 128], scs)
+        r = simulate_nlmpc_runs_soa(
+            params, limits, scs_i, seed_xs, seed_us, 121, 1.0,
+            jax.random.fold_in(key, i), **kw)
+        halves.append(r)
+    want_steps = np.concatenate(
+        [np.asarray(h.lap_steps) for h in halves], axis=-1)
+    np.testing.assert_array_equal(np.asarray(res.lap_steps), want_steps)
+    for j in range(5):
+        want = np.concatenate(
+            [np.asarray(h.safe_set[j]) for h in halves], axis=-1)
+        np.testing.assert_array_equal(np.asarray(res.safe_set[j]), want)
