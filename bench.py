@@ -211,11 +211,14 @@ def main():
                  dict(infeasible_retire=8), reps=2)
         # `all`: every stored point of every window row is a candidate —
         # the reference's widest sweep; HBM-streamed safe set, winner
-        # re-solve (one timed rep: this is a slow canary row)
+        # re-solve. Round-5 config: all_rev_skip (strict-descent dominance
+        # scan, bitwise) + retile_frac=0.25 (straggler compaction, bitwise)
+        # measured 2.31k -> 14.6k lap-sims/s at identical behavior
+        # (docs/PERF.md round-5); one timed rep (slow canary row).
         run_tier("all", 8192, dict(all_ss_point=True),
                  dict(mode="all", store_solutions=False,
-                      stream_safe_set=True),
-                 {}, reps=1)
+                      stream_safe_set=True, all_rev_skip=True),
+                 dict(retile_frac=0.25), reps=1)
 
     # generic-system tier: double integrator through the generic SoA solver
     # (ops/generic_ilqr_soa.py) — the parametric-(n, m) production solver

@@ -267,7 +267,9 @@ def cmd_all_rev():
                                  noise_on=True, dtype=dtype)
     out = {"probe": "all_mode_rev_skip_ab", "batch": batch}
     sel = sys.argv[3:]
-    for tag, rev in (("forward", False), ("rev_skip", True)):
+    for tag, rev, frac in (("forward", False, None),
+                           ("rev_skip", True, None),
+                           ("rev_retile", True, 0.25)):
         if sel and tag not in sel:
             continue
         solver = build_fused_nlmpc_step(
@@ -276,7 +278,7 @@ def cmd_all_rev():
             mode="all", store_solutions=False, stream_safe_set=True,
             all_rev_skip=rev)
         kw = dict(num_laps=3, max_steps=128, max_laps=8, max_lm_iters=12,
-                  pallas_step_solver=solver)
+                  pallas_step_solver=solver, retile_frac=frac)
 
         def go(seed):
             res = simulate_nlmpc_runs_soa(
