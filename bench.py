@@ -218,7 +218,7 @@ def main():
         run_tier("all", 8192, dict(all_ss_point=True),
                  dict(mode="all", store_solutions=False,
                       stream_safe_set=True, all_rev_skip=True),
-                 dict(retile_frac=0.25), reps=1)
+                 dict(retile_frac=0.25, infeasible_retire=8), reps=1)
 
     # generic-system tier: double integrator through the generic SoA solver
     # (ops/generic_ilqr_soa.py) — the parametric-(n, m) production solver
