@@ -89,7 +89,8 @@ class NlmpcSoaRunResult(NamedTuple):
                                    "max_lm_iters", "pallas_solver",
                                    "pallas_step_solver",
                                    "infeasible_retire",
-                                   "with_streak_stats", "retile_frac"))
+                                   "with_streak_stats", "retile_frac",
+                                   "tail_shrink"))
 def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             scenarios: SoaScenarios, seed_xs, seed_us,
                             seed_len, dt, key, *, num_laps: int,
@@ -102,6 +103,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                             infeasible_retire: int | None = None,
                             with_streak_stats: bool = False,
                             retile_frac: float | None = None,
+                            tail_shrink: int | None = None,
                             resume_from=None) -> NlmpcSoaRunResult:
     """Seed + ``num_laps`` NLMPC learning laps for B scenarios, batch-trailing.
 
@@ -143,6 +145,15 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
     b = scenarios.x0.shape[-1]
     dt = jnp.asarray(dt, dtype)
     goal_tol = 0.8
+    perm_on = (retile_frac is not None) or (tail_shrink is not None)
+    if tail_shrink is not None:
+        if tail_shrink >= b:
+            raise ValueError(f"tail_shrink={tail_shrink} must be < batch {b}")
+        if pallas_step_solver is not None and (
+                tail_shrink % pallas_step_solver.tile != 0):
+            raise ValueError(
+                f"tail_shrink={tail_shrink} must be a multiple of the "
+                f"step kernel tile {pallas_step_solver.tile}")
     # safe-set option dispatch (base.py:564-575): all_ss_point overrides
     # ss_option; all_ss_iter widens the lap window to every stored lap.
     # All are static struct fields, so each combination is its own trace.
@@ -494,7 +505,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         return u_sel, feasible_any, new_guess, u_warm_new, hzn_next
 
     def solve_step_kernel(ss, lap_count, x, guess, u_warm, t, hzn, obstacle,
-                          inactive=None):
+                          inactive=None, compacted=None):
         """Whole-step fused kernel route (ops/pallas_nlmpc_step.py):
         candidate enumeration (kNN or timeVarying window), m-masked
         candidate solves, h1 reach check, lexicographic selection and the
@@ -542,7 +553,31 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                 z = z + (jnp.zeros((b,), jnp.float32),) * 2
             return z
 
-        out = jax.lax.cond(jnp.min(skip) < 0.5, _run_kernel, _idle,
+        if tail_shrink is not None:
+            # tail prefix-shrink (round 5, bitwise — see batched_soa.py):
+            # after compaction all not-done lanes sit in the first
+            # tail_shrink columns, so the kernel runs on that prefix and
+            # the padding equals the zeros skip lanes produce anyway
+            _Bs = tail_shrink
+
+            def _run_small(xa):
+                x_, g_, uw_, skip_, hzn_ = xa
+                ex = {kk: v[..., :_Bs] for kk, v in extra.items()}
+                o = pallas_step_solver(
+                    x_[:, :_Bs], g_[:, :_Bs], uw_[..., :_Bs],
+                    states[..., :_Bs], qfun[..., :_Bs], lap_len[..., :_Bs],
+                    lap_ids, lap_ok, obs_l[..., :_Bs], skip_[:_Bs],
+                    hzn_[:_Bs], **ex)
+                pads = _idle(xa)
+                return tuple(jnp.concatenate([a, pz[..., _Bs:]], axis=-1)
+                             for a, pz in zip(o, pads))
+
+            def _run_active(xa):
+                return jax.lax.cond(compacted > 0.5, _run_small,
+                                    _run_kernel, xa)
+        else:
+            _run_active = _run_kernel
+        out = jax.lax.cond(jnp.min(skip) < 0.5, _run_active, _idle,
                            (x, guess, u_warm, skip, hzn))
         (us_w, feas_f, new_guess0, idx_sel, row_sel, succ_f) = out[:6]
         it_stats = out[6:8] if kernel_stats else ()
@@ -576,35 +611,59 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             return jnp.any((t < sim_step_budget) & ~done)
 
         def step_body(c):
-            if retile_frac is not None:
+            if perm_on:
                 (x, t, done, obstacle, guess, u_warm, hzn, u_prev, xs_rec,
                  us_rec, streak, retired, rec_max, it_acc, key, ss_c,
-                 scen_c, oid, skip_base) = c
-                # periodic straggler re-tiling (see simulate docstring and
-                # control/batched_soa.py): stably partition ALL per-lane
-                # state active-first when the solver-inactive count grew by
-                # retile_block since the last permutation
+                 scen_c, oid, skip_base, compacted) = c
+                # periodic straggler re-tiling / tail compaction (see
+                # simulate docstring and control/batched_soa.py): stably
+                # partition ALL per-lane state active-first — on the retile
+                # trigger and/or ONCE when the not-done count first fits
+                # the tail_shrink prefix
                 skipf = done | retired
                 n_skip = jnp.sum(skipf.astype(jnp.int32)).astype(jnp.int32)
+                if tail_shrink is not None:
+                    n_notdone = jnp.sum((~done).astype(jnp.int32)).astype(
+                        jnp.int32)
+                    tail_cond = (compacted < 0.5) & (n_notdone <= tail_shrink)
+                else:
+                    tail_cond = jnp.asarray(False)
+                if retile_frac is not None:
+                    trigger = tail_cond | (
+                        (n_skip - skip_base) >= retile_block)
+                else:
+                    trigger = tail_cond
                 P = (x, t, done, obstacle, guess, u_warm, hzn, u_prev,
                      xs_rec, us_rec, streak, retired, rec_max, it_acc,
                      ss_c, scen_c, oid)
 
                 def do_perm(args):
                     P_in, _sb = args
-                    _dst, src, _nf = _stable_partition(skipf)
+                    if tail_shrink is None:
+                        _dst, src, _nf = _stable_partition(skipf)
+                    else:
+                        # 3-way stable order: solver-active, then retired
+                        # (not done — still integrating and recording),
+                        # then done (see batched_soa.py)
+                        key3 = (skipf.astype(jnp.int32)
+                                + done.astype(jnp.int32))
+                        src = jnp.argsort(key3, stable=True).astype(
+                            jnp.int32)
                     return _permute_lanes(P_in, src), n_skip
 
                 P, skip_base = jax.lax.cond(
-                    (n_skip - skip_base) >= retile_block, do_perm,
-                    lambda args: args, (P, skip_base))
+                    trigger, do_perm, lambda args: args, (P, skip_base))
                 (x, t, done, obstacle, guess, u_warm, hzn, u_prev, xs_rec,
                  us_rec, streak, retired, rec_max, it_acc, ss_c, scen_c,
                  oid) = P
+                if tail_shrink is not None:
+                    compacted = jnp.maximum(
+                        compacted, tail_cond.astype(jnp.float32))
             else:
                 (x, t, done, obstacle, guess, u_warm, hzn, u_prev, xs_rec,
                  us_rec, streak, retired, rec_max, it_acc, key) = c
                 ss_c, scen_c, oid, skip_base = ss, scenarios, None, None
+                compacted = None
             # ``infeasible_retire``: during an all-infeasible streak the
             # applied input is u_prev and every solver-side state (guess,
             # u_warm, hzn) is frozen — the solves only matter as the binary
@@ -625,7 +684,8 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                 (u_solve, feas, guess_new, u_warm_new, hzn_new,
                  it_stats) = solve_step_kernel(ss_c, lap_count, x, guess,
                                                u_warm, t, hzn, obstacle,
-                                               inactive=inact)
+                                               inactive=inact,
+                                               compacted=compacted)
                 if kernel_stats:
                     it_acc = (it_acc[0] + it_stats[0],
                               it_acc[1] + it_stats[1])
@@ -657,7 +717,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                                -0.05, 0.05)
             noise_th = jnp.clip(jax.random.normal(k2, (b,), dtype) * 0.005,
                                 -0.05, 0.05)
-            if retile_frac is not None:
+            if perm_on:
                 # draws are positional in the ORIGINAL lane order; route
                 # them to the permuted lanes (bitwise vs retile off)
                 nz = _take_lanes(jnp.stack([noise_v, noise_th]), oid)
@@ -681,20 +741,60 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             # t of us_rec was never written (stays 0) so the value is masked
             # to 0; row t_next(=t) of xs_rec already holds the frozen x, so
             # the rewrite is a no-op. In-bounds by the max_steps entry check.
-            onehot_t = t_idx[:, None] == t[None, :]  # (T, B)
-            us_rec = jnp.where(onehot_t[:, None, :],
-                               jnp.where(done[None, :], 0.0, u)[None],
-                               us_rec)
-            onehot_tn = t_idx[:, None] == t_next[None, :]
-            xs_rec = jnp.where(onehot_tn[:, None, :], x_next[None], xs_rec)
+            if tail_shrink is not None:
+                # record prefix-writes (bitwise — full-width writes are
+                # no-ops for done lanes; see batched_soa.py)
+                _Bs = tail_shrink
+
+                def _recs_small(args):
+                    xs_r, us_r, x_n, u_n, t_c, t_n, done_c = args
+                    oh_t = t_idx[:, None] == t_c[None, :_Bs]
+                    us_head = jnp.where(
+                        oh_t[:, None, :],
+                        jnp.where(done_c[None, :_Bs], 0.0,
+                                  u_n[:, :_Bs])[None],
+                        us_r[:, :, :_Bs])
+                    us_out = jnp.concatenate([us_head, us_r[:, :, _Bs:]],
+                                             axis=-1)
+                    oh_tn = t_idx[:, None] == t_n[None, :_Bs]
+                    xs_head = jnp.where(oh_tn[:, None, :],
+                                        x_n[None, :, :_Bs],
+                                        xs_r[:, :, :_Bs])
+                    xs_out = jnp.concatenate([xs_head, xs_r[:, :, _Bs:]],
+                                             axis=-1)
+                    return xs_out, us_out
+
+                def _recs_full(args):
+                    xs_r, us_r, x_n, u_n, t_c, t_n, done_c = args
+                    oh_t = t_idx[:, None] == t_c[None, :]
+                    us_out = jnp.where(
+                        oh_t[:, None, :],
+                        jnp.where(done_c[None, :], 0.0, u_n)[None], us_r)
+                    oh_tn = t_idx[:, None] == t_n[None, :]
+                    xs_out = jnp.where(oh_tn[:, None, :], x_n[None], xs_r)
+                    return xs_out, us_out
+
+                xs_rec, us_rec = jax.lax.cond(
+                    compacted > 0.5, _recs_small, _recs_full,
+                    (xs_rec, us_rec, x_next, u, t, t_next, done))
+            else:
+                onehot_t = t_idx[:, None] == t[None, :]  # (T, B)
+                us_rec = jnp.where(onehot_t[:, None, :],
+                                   jnp.where(done[None, :], 0.0, u)[None],
+                                   us_rec)
+                onehot_tn = t_idx[:, None] == t_next[None, :]
+                xs_rec = jnp.where(onehot_tn[:, None, :], x_next[None],
+                                   xs_rec)
             reach = jnp.sqrt(sum((x_next[i] - scen_c.goal[i]) ** 2
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)
             core = (x_next, t_next, done_next, obstacle_next, guess_next,
                     u_warm_next, hzn_next, u_prev_next, xs_rec, us_rec,
                     streak_next, retired, rec_max, it_acc, key)
-            if retile_frac is not None:
-                return core + (ss_c, scen_c, oid, skip_base)
+            if perm_on:
+                cmp_f = (compacted if tail_shrink is not None
+                         else jnp.float32(0.0))
+                return core + (ss_c, scen_c, oid, skip_base, cmp_f)
             return core
 
         xs_rec = jnp.zeros((max_steps, 4, b), dtype).at[0].set(scen_p.x0)
@@ -706,11 +806,12 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
                 jnp.zeros((2, b), dtype), xs_rec, us_rec,
                 jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool),
                 jnp.zeros((b,), jnp.int32), it_acc0, key)
-        if retile_frac is not None:
-            init = init + (ss, scen_p, orig_id, jnp.asarray(0, jnp.int32))
+        if perm_on:
+            init = init + (ss, scen_p, orig_id, jnp.asarray(0, jnp.int32),
+                           jnp.float32(0.0))
             (x, t, done, _obs, _g, _uw, _hz, _up, xs_rec, us_rec, streak,
              _ret, rec_max, it_acc, key, ss_o, scen_o, oid_o,
-             _sb) = jax.lax.while_loop(step_cond, step_body, init)
+             _sb, _cp) = jax.lax.while_loop(step_cond, step_body, init)
             return (xs_rec, us_rec, t, done, x, (rec_max, streak), it_acc,
                     key, ss_o, scen_o, oid_o)
         (x, t, done, _obs, _g, _uw, _hz, _up, xs_rec, us_rec, streak,
@@ -733,7 +834,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
         in_new = jnp.take(ss[1], newest, axis=0)  # (T, 2, B)
         guess0 = st_new[n]  # (4, B)
         u_warm0 = in_new[:n]  # (N, 2, B)
-        if kernel_stats and retile_frac is not None:
+        if kernel_stats and perm_on:
             # the running total rides the while carry so each permutation
             # moves the partial sums with their lanes
             it_acc0 = it_sum
@@ -746,7 +847,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
          orig_id) = run_lap(ss, lap_count, guess0, u_warm0, key, scen_p,
                             orig_id, it_acc0)
         if kernel_stats:
-            if retile_frac is not None:
+            if perm_on:
                 it_sum = it_lap
             else:
                 it_sum = (it_sum[0] + it_lap[0], it_sum[1] + it_lap[1])
@@ -756,7 +857,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             pos, n_valid = t, t + 1
         xs_rec = _set_goal(xs_rec, pos, scen_p.goal)
         ss = add_lap(ss, lap_count, xs_rec, us_rec, n_valid)
-        if retile_frac is not None:
+        if perm_on:
             # per-lap rows are reported in ORIGINAL lane order (the
             # permutation can differ between laps — scatter back per lap)
             unperm = lambda a: jnp.zeros_like(a).at[orig_id].set(a)
@@ -780,7 +881,7 @@ def simulate_nlmpc_runs_soa(params: LmpcParams, limits: SystemLimits,
             it_sum0, scenarios, jnp.arange(b, dtype=jnp.int32))
     (ss, key, lap_steps, lap_done, final_x, streak_rec, it_sum, _scen,
      orig_id) = jax.lax.fori_loop(0, num_laps, lap_loop, init)
-    if retile_frac is not None:
+    if perm_on:
         # restore ORIGINAL lane order on the lane-permuted outputs
         inv = _unpermute_idx(orig_id, b)
         ss = _permute_lanes(ss, inv)

@@ -233,7 +233,7 @@ def _lex_argmin_rows(cost_rows):
                                    "solver_max_iter", "pallas_solver",
                                    "pallas_step_solver", "dedup_passes",
                                    "stall_reseed", "retile_frac",
-                                   "precision_islands"))
+                                   "tail_shrink", "precision_islands"))
 def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                scenarios: SoaScenarios, seed_xs, seed_us,
                                seed_len, dt, key, *, num_laps: int,
@@ -246,6 +246,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                                dedup_passes: bool = False,
                                stall_reseed: int | None = None,
                                retile_frac: float | None = None,
+                               tail_shrink: int | None = None,
                                precision_islands: tuple = (),
                                resume_from=None) -> SoaRunResult:
     """Seed + ``num_laps`` learning laps for B scenarios, batch-trailing.
@@ -361,6 +362,19 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
     b = scenarios.x0.shape[-1]
     dt = jnp.asarray(dt, dtype)
     goal_tol = 0.8
+    perm_on = (retile_frac is not None) or (tail_shrink is not None)
+    if tail_shrink is not None:
+        if tail_shrink >= b:
+            raise ValueError(f"tail_shrink={tail_shrink} must be < batch {b}")
+        if stall_reseed is not None:
+            raise ValueError("tail_shrink with stall_reseed is not "
+                             "supported (the stall extraction reads "
+                             "full-width per-step sweeps)")
+        if pallas_step_solver is not None and (
+                tail_shrink % pallas_step_solver.tile != 0):
+            raise ValueError(
+                f"tail_shrink={tail_shrink} must be a multiple of the "
+                f"step kernel tile {pallas_step_solver.tile}")
 
     # ---- safe set, batch-trailing ----
     ss_states = jnp.zeros((max_laps, max_steps, 4, b), dtype)
@@ -396,7 +410,8 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
     stats_on = (pallas_step_solver is not None
                 and getattr(pallas_step_solver, "with_stats", False))
 
-    def solve_step(ss, lap_count, x, g0, obstacle, inactive=None):
+    def solve_step(ss, lap_count, x, g0, obstacle, inactive=None,
+                   compacted=None):
         """One i2LQR calc_input for all B lanes.
 
         x: (4, B); g0: (4, B) pass-0 kNN guess (normally x, base.py:398;
@@ -460,7 +475,33 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                     z = z + (jnp.zeros((b,), jnp.float32),) * 3
                 return z
 
-            out = jax.lax.cond(jnp.min(skip) < 0.5, _run_kernel, _idle,
+            if tail_shrink is not None:
+                # tail prefix-shrink (round 5): once the not-done lanes sit
+                # in the first ``tail_shrink`` columns (the 3-way compaction
+                # permute guarantees it, and done-ness is monotone within a
+                # lap), the kernel runs on that static prefix only; the
+                # padded columns return the zeros skip lanes produce anyway
+                # — bitwise-identical, but the 48-tile block-DMA floor
+                # shrinks to the prefix's tiles.
+                _Bs = tail_shrink
+
+                def _run_small(xa):
+                    x_, g0_, skip_ = xa
+                    o = pallas_step_solver(
+                        x_[:, :_Bs], g0_[:, :_Bs], states[..., :_Bs],
+                        qfun[..., :_Bs], lap_len[..., :_Bs], lap_ids,
+                        lap_ok, obs_l[..., :_Bs], skip_[:_Bs])
+                    pads = _idle(xa)
+                    return tuple(
+                        jnp.concatenate([a, pz[..., _Bs:]], axis=-1)
+                        for a, pz in zip(o, pads))
+
+                def _run_active(xa):
+                    return jax.lax.cond(compacted > 0.5, _run_small,
+                                        _run_kernel, xa)
+            else:
+                _run_active = _run_kernel
+            out = jax.lax.cond(jnp.min(skip) < 0.5, _run_active, _idle,
                                (x, g0, skip))
             us_sel, shrink_f, idx_o, row_o = out[0], out[1], out[2], out[3]
             stats = tuple(out[4:7]) if stats_on else None
@@ -683,35 +724,60 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             return jnp.any((t < sim_step_budget) & ~done)
 
         def step_body(c):
-            if retile_frac is not None:
+            if perm_on:
                 (x, t, done, obstacle, horizon_left, replay_pos, u_old,
                  xs_rec, key, stall, q_prev, acc, ss_c, scen_c, oid,
-                 skip_base) = c
-                # periodic straggler re-tiling (see simulate docstring):
-                # stably partition ALL per-lane state so active lanes share
-                # tiles, whenever the solver-inactive count grew by
-                # retile_block since the last permutation. Pure schedule
-                # change — per-lane math is lane-position invariant and the
-                # noise stream is routed by oid below.
+                 skip_base, compacted) = c
+                # periodic straggler re-tiling / tail compaction (see
+                # simulate docstring): stably partition ALL per-lane state
+                # active-first — on the retile trigger (inactive count grew
+                # by retile_block) and/or ONCE when the not-done count
+                # first fits the tail_shrink prefix. Pure schedule change —
+                # per-lane math is lane-position invariant and the noise
+                # stream is routed by oid below.
                 skipf = done | (horizon_left < n)
                 n_skip = jnp.sum(skipf.astype(jnp.int32)).astype(jnp.int32)
+                if tail_shrink is not None:
+                    n_notdone = jnp.sum((~done).astype(jnp.int32)).astype(
+                        jnp.int32)
+                    tail_cond = (compacted < 0.5) & (n_notdone <= tail_shrink)
+                else:
+                    tail_cond = jnp.asarray(False)
+                if retile_frac is not None:
+                    trigger = tail_cond | (
+                        (n_skip - skip_base) >= retile_block)
+                else:
+                    trigger = tail_cond
                 P = (x, t, done, obstacle, horizon_left, replay_pos, u_old,
                      xs_rec, stall, q_prev, acc, ss_c, scen_c, oid)
 
                 def do_perm(args):
                     P_in, _sb = args
-                    _dst, src, _nf = _stable_partition(skipf)
+                    if tail_shrink is None:
+                        _dst, src, _nf = _stable_partition(skipf)
+                    else:
+                        # 3-way stable order: solver-active, then replay
+                        # (not done — still integrating and recording),
+                        # then done — so the solver prefix AND the record
+                        # prefix are both honored after compaction
+                        key3 = (skipf.astype(jnp.int32)
+                                + done.astype(jnp.int32))
+                        src = jnp.argsort(key3, stable=True).astype(
+                            jnp.int32)
                     return _permute_lanes(P_in, src), n_skip
 
                 P, skip_base = jax.lax.cond(
-                    (n_skip - skip_base) >= retile_block, do_perm,
-                    lambda args: args, (P, skip_base))
+                    trigger, do_perm, lambda args: args, (P, skip_base))
                 (x, t, done, obstacle, horizon_left, replay_pos, u_old,
                  xs_rec, stall, q_prev, acc, ss_c, scen_c, oid) = P
+                if tail_shrink is not None:
+                    compacted = jnp.maximum(
+                        compacted, tail_cond.astype(jnp.float32))
             else:
                 (x, t, done, obstacle, horizon_left, replay_pos, u_old,
                  xs_rec, key, stall, q_prev, acc) = c
                 ss_c, scen_c, oid, skip_base = ss, scenarios, None, None
+                compacted = None
             in_replay = horizon_left < n  # (B,)
             if stall_reseed is not None:
                 # stall-reseed guard (see simulate docstring): stalled lanes
@@ -721,7 +787,8 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             else:
                 g0 = x
             u_solve, u_old_new, shrink, idx_sel, row_sel, stats = solve_step(
-                ss_c, lap_count, x, g0, obstacle, inactive=done | in_replay)
+                ss_c, lap_count, x, g0, obstacle, inactive=done | in_replay,
+                compacted=compacted)
             if stats_on:
                 acc = tuple(a + sv for a, sv in zip(acc, stats))
             if stall_reseed is not None:
@@ -792,15 +859,42 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             # the TPU scalar core at ~80 ns/row — measured 5.4 ms/step at
             # B=64k vs ~0.4 ms for the full-tensor select on the VPU.
             # In-bounds by the max_steps check at function entry.
-            onehot_t = t_idx[:, None] == t_next[None, :]  # (T, B)
-            xs_rec = jnp.where(onehot_t[:, None, :], x_next[None], xs_rec)
+            if tail_shrink is not None:
+                # record prefix-write: all not-done lanes live in the first
+                # tail_shrink columns after compaction; full-width writes
+                # are no-ops for done lanes (row t already holds the frozen
+                # x), so restricting the (T, 4, B) onehot-select to the
+                # prefix is bitwise-identical and drops its VPU traffic
+                _Bs = tail_shrink
+
+                def _rec_small(args):
+                    xs_r, x_n, t_n = args
+                    oh = t_idx[:, None] == t_n[None, :_Bs]
+                    head = jnp.where(oh[:, None, :], x_n[None, :, :_Bs],
+                                     xs_r[:, :, :_Bs])
+                    return jnp.concatenate([head, xs_r[:, :, _Bs:]],
+                                           axis=-1)
+
+                def _rec_full(args):
+                    xs_r, x_n, t_n = args
+                    oh = t_idx[:, None] == t_n[None, :]
+                    return jnp.where(oh[:, None, :], x_n[None], xs_r)
+
+                xs_rec = jax.lax.cond(compacted > 0.5, _rec_small,
+                                      _rec_full, (xs_rec, x_next, t_next))
+            else:
+                onehot_t = t_idx[:, None] == t_next[None, :]  # (T, B)
+                xs_rec = jnp.where(onehot_t[:, None, :], x_next[None],
+                                   xs_rec)
             reach = jnp.sqrt(sum((x_next[i] - scen_c.goal[i]) ** 2
                                  for i in range(4))) <= goal_tol
             done_next = done | ((~done) & reach)
             core = (x_next, t_next, done_next, obstacle_next, horizon_next,
                     replay_next, u_old_next, xs_rec, key, stall, q_prev, acc)
-            if retile_frac is not None:
-                return core + (ss_c, scen_c, oid, skip_base)
+            if perm_on:
+                cmp_f = (compacted if tail_shrink is not None
+                         else jnp.float32(0.0))
+                return core + (ss_c, scen_c, oid, skip_base, cmp_f)
             return core
 
         xs_rec = jnp.zeros((max_steps, 4, b), dtype)
@@ -811,10 +905,11 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
                 jnp.zeros((n, 2, b), dtype), xs_rec, key,
                 jnp.zeros((b,), jnp.int32),
                 jnp.full((b,), jnp.inf, dtype), acc0)
-        if retile_frac is not None:
-            init = init + (ss, scen_p, orig_id, jnp.asarray(0, jnp.int32))
+        if perm_on:
+            init = init + (ss, scen_p, orig_id, jnp.asarray(0, jnp.int32),
+                           jnp.float32(0.0))
             (x, t, done, _obs, _hl, _rp, _uo, xs_rec, key, _st, _qp, acc,
-             ss_o, scen_o, oid_o, _sb) = jax.lax.while_loop(
+             ss_o, scen_o, oid_o, _sb, _cp) = jax.lax.while_loop(
                  step_cond, step_body, init)
             return xs_rec, t, done, key, acc, ss_o, scen_o, oid_o
         (x, t, done, _obs, _hl, _rp, _uo, xs_rec, key, _st, _qp, acc) = (
@@ -829,7 +924,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
     def lap_loop(lap_i, carry):
         ss, key, lap_steps, lap_done, stat_acc, scen_p, orig_id = carry
         lap_count = lap_i + lap0  # laps stored so far (seed + learned)
-        if stats_on and retile_frac is not None:
+        if stats_on and perm_on:
             # the running total rides the while carry so each permutation
             # moves the partial sums with their lanes
             acc0 = stat_acc
@@ -840,7 +935,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
         xs_rec, t, done, key, lap_acc, ss, scen_p, orig_id = run_lap(
             ss, lap_count, key, scen_p, orig_id, acc0)
         if stats_on:
-            if retile_frac is not None:
+            if perm_on:
                 stat_acc = lap_acc
             else:
                 stat_acc = tuple(a + sv for a, sv in zip(stat_acc, lap_acc))
@@ -853,7 +948,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             xs_rec = _set_goal(xs_rec, t, scen_p.goal)
             n_valid = t + 1
         ss = add_lap(ss, lap_count, xs_rec, n_valid)
-        if retile_frac is not None:
+        if perm_on:
             # lap rows are reported in ORIGINAL lane order; the permutation
             # may differ between laps, so scatter back per lap
             t = jnp.zeros_like(t).at[orig_id].set(t)
@@ -869,7 +964,7 @@ def simulate_learning_runs_soa(params: IlqrParams, limits: SystemLimits,
             jnp.arange(b, dtype=jnp.int32))
     ss, key, lap_steps, lap_done, stat_acc, _scen, orig_id = jax.lax.fori_loop(
         0, num_laps, lap_loop, init)
-    if retile_frac is not None:
+    if perm_on:
         # restore ORIGINAL lane order on the lane-permuted outputs
         inv = _unpermute_idx(orig_id, b)
         ss = _permute_lanes(ss, inv)

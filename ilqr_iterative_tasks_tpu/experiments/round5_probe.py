@@ -104,7 +104,7 @@ def cmd_permute():
     print(json.dumps(out), flush=True)
 
 
-def _headline_i2lqr(batch, retile_frac):
+def _headline_i2lqr(batch, retile_frac, tail_shrink=None):
     from ilqr_iterative_tasks_tpu.control.batched_soa import (
         SoaScenarios, simulate_learning_runs_soa)
     from ilqr_iterative_tasks_tpu.models.obstacle import Obstacle
@@ -127,7 +127,8 @@ def _headline_i2lqr(batch, retile_frac):
         params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
         max_laps=8, max_iter=16, tile_rows=8, dedup=True, qsort_skip=True)
     kw = dict(num_laps=3, max_steps=128, max_laps=8, solver_max_iter=16,
-              pallas_step_solver=solver, retile_frac=retile_frac)
+              pallas_step_solver=solver, retile_frac=retile_frac,
+              tail_shrink=tail_shrink)
 
     def go(seed):
         res = simulate_learning_runs_soa(
@@ -161,7 +162,8 @@ def cmd_retile():
     print(json.dumps(out), flush=True)
 
 
-def _headline_nlmpc(batch, retile_frac, ordering="qsort"):
+def _headline_nlmpc(batch, retile_frac, ordering="qsort",
+                    tail_shrink=None):
     from ilqr_iterative_tasks_tpu.control.batched_soa import SoaScenarios
     from ilqr_iterative_tasks_tpu.control.batched_nlmpc_soa import (
         simulate_nlmpc_runs_soa)
@@ -187,7 +189,7 @@ def _headline_nlmpc(batch, retile_frac, ordering="qsort"):
         qsort_skip=(ordering == "qsort"), prox_skip=(ordering == "prox"))
     kw = dict(num_laps=3, max_steps=128, max_laps=8, max_lm_iters=12,
               pallas_step_solver=solver, infeasible_retire=8,
-              retile_frac=retile_frac)
+              retile_frac=retile_frac, tail_shrink=tail_shrink)
 
     def go(seed):
         res = simulate_nlmpc_runs_soa(
@@ -239,6 +241,33 @@ def cmd_prox():
             "mean_lap_steps": [round(float(v), 2) for v in np.asarray(
                 res.lap_steps, np.float64).mean(-1)]}
         print(json.dumps({ordering: out[ordering]}), flush=True)
+    print(json.dumps(out), flush=True)
+
+
+def cmd_tail():
+    """A/B the round-5 tail prefix-shrink at both headlines (bitwise):
+    ``tail i2lqr`` / ``tail nlmpc`` / ``tail both`` [Bs=4096]."""
+    which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    bs = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+    batch = 49152
+    out = {"probe": "tail_shrink_ab", "batch": batch, "tail_shrink": bs}
+    if which in ("i2lqr", "both"):
+        res, best = _headline_i2lqr(batch, None, tail_shrink=bs)
+        out["i2lqr_ts"] = {
+            "lap_sims_per_s": round(batch * 3 / best, 1),
+            "completion": round(float(np.asarray(res.lap_done).mean()), 4),
+            "mean_lap_steps": [round(float(v), 2) for v in np.asarray(
+                res.lap_steps, np.float64).mean(-1)]}
+        print(json.dumps({"i2lqr_ts": out["i2lqr_ts"]}), flush=True)
+    if which in ("nlmpc", "both"):
+        res, best = _headline_nlmpc(batch, 0.25, tail_shrink=bs)
+        out["nlmpc_retile_ts"] = {
+            "lap_sims_per_s": round(batch * 3 / best, 1),
+            "completion": round(float(np.asarray(res.lap_done).mean()), 4),
+            "mean_lap_steps": [round(float(v), 2) for v in np.asarray(
+                res.lap_steps, np.float64).mean(-1)]}
+        print(json.dumps({"nlmpc_retile_ts": out["nlmpc_retile_ts"]}),
+              flush=True)
     print(json.dumps(out), flush=True)
 
 
@@ -413,4 +442,4 @@ if __name__ == "__main__":
     {"permute": cmd_permute, "retile": cmd_retile,
      "retile_nlmpc": cmd_retile_nlmpc, "all_mc": cmd_all_mc,
      "f32_bisect": cmd_f32_bisect, "prox": cmd_prox,
-     "all_rev": cmd_all_rev}[sys.argv[1]]()
+     "all_rev": cmd_all_rev, "tail": cmd_tail}[sys.argv[1]]()

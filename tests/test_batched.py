@@ -377,3 +377,42 @@ def test_retile_bitwise_neutral():
                                       np.asarray(rt.safe_set[j]))
     np.testing.assert_array_equal(np.asarray(base.final_key),
                                   np.asarray(rt.final_key))
+
+
+def test_tail_shrink_bitwise_neutral():
+    """``tail_shrink`` (round-5 tail prefix-shrink): after the one-shot
+    3-way compaction permute (solver-active, replay-not-done, done) the
+    not-done lanes occupy a static prefix forever (done-ness is monotone
+    within a lap), so the record writes restrict to the prefix — and with
+    a step kernel the solve would too. Full-width writes are no-ops for
+    done lanes, so the run must be BITWISE identical. f64: the tail
+    machinery changes the compiled program, and cross-compilation bitwise
+    comparison is only valid at f64 (docs/PARITY.md convention — at f32
+    the recompiled fusion shifts late-lap rounding by ~1e-3 while lap
+    decisions stay identical)."""
+    from ilqr_iterative_tasks_tpu.control.batched_soa import (
+        SoaScenarios, simulate_learning_runs_soa)
+
+    f64 = jnp.float64
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup(dtype=f64)
+    scs = SoaScenarios.randomized(np.zeros(4), xcl[-1], obstacle, 48,
+                                  jax.random.PRNGKey(42), noise_on=True,
+                                  dtype=f64)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, solver_max_iter=12,
+              sim_step_budget=50)
+    key = jax.random.PRNGKey(7)
+    base = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                      121, 1.0, key, **kw)
+    ts = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                    121, 1.0, key, tail_shrink=16, **kw)
+    both = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                      121, 1.0, key, tail_shrink=16,
+                                      retile_frac=0.25, **kw)
+    for r in (ts, both):
+        np.testing.assert_array_equal(np.asarray(base.lap_steps),
+                                      np.asarray(r.lap_steps))
+        np.testing.assert_array_equal(np.asarray(base.lap_done),
+                                      np.asarray(r.lap_done))
+        for j in range(4):
+            np.testing.assert_array_equal(np.asarray(base.safe_set[j]),
+                                          np.asarray(r.safe_set[j]))

@@ -288,3 +288,55 @@ def test_nlmpc_retile_bitwise_neutral():
     for j in range(2):
         np.testing.assert_array_equal(np.asarray(base.streaks[j]),
                                       np.asarray(rt.streaks[j]))
+
+
+def test_nlmpc_tail_shrink_bitwise_neutral():
+    """NLMPC mirror of test_batched.py::test_tail_shrink_bitwise_neutral,
+    including the retired-lane middle class of the 3-way partition (retired
+    lanes are solver-skip but still integrate and record)."""
+    params, limits, scs, seed_xs, seed_us, _, _ = _setup(64, noise_on=True)
+    kw = dict(num_laps=2, max_steps=128, max_laps=8, max_lm_iters=10,
+              sim_step_budget=60, infeasible_retire=4)
+    key = jax.random.PRNGKey(11)
+    base = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                   121, 1.0, key, **kw)
+    both = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                   121, 1.0, key, tail_shrink=16,
+                                   retile_frac=0.25, **kw)
+    np.testing.assert_array_equal(np.asarray(base.lap_steps),
+                                  np.asarray(both.lap_steps))
+    np.testing.assert_array_equal(np.asarray(base.lap_done),
+                                  np.asarray(both.lap_done))
+    np.testing.assert_array_equal(np.asarray(base.final_x),
+                                  np.asarray(both.final_x))
+    for j in range(5):
+        np.testing.assert_array_equal(np.asarray(base.safe_set[j]),
+                                      np.asarray(both.safe_set[j]))
+
+
+def test_nlmpc_tail_shrink_step_kernel_bitwise():
+    """tail_shrink with the whole-step kernel (interpret): the compacted
+    phase slices all kernel inputs to the prefix and pads outputs with the
+    zeros skip lanes produce — bitwise vs the full-width kernel run."""
+    from ilqr_iterative_tasks_tpu.ops.pallas_nlmpc_step import (
+        build_fused_nlmpc_step)
+
+    params, limits, scs, seed_xs, seed_us, _, _ = _setup(256, noise_on=True)
+    solver = build_fused_nlmpc_step(
+        params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
+        max_laps=8, max_iters=8, tile_rows=1, qsort_skip=True,
+        interpret=True)
+    kw = dict(num_laps=1, max_steps=128, max_laps=8, max_lm_iters=8,
+              sim_step_budget=55, pallas_step_solver=solver)
+    key = jax.random.PRNGKey(13)
+    base = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                   121, 1.0, key, **kw)
+    ts = simulate_nlmpc_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                 121, 1.0, key, tail_shrink=128, **kw)
+    np.testing.assert_array_equal(np.asarray(base.lap_steps),
+                                  np.asarray(ts.lap_steps))
+    np.testing.assert_array_equal(np.asarray(base.lap_done),
+                                  np.asarray(ts.lap_done))
+    for j in range(5):
+        np.testing.assert_array_equal(np.asarray(base.safe_set[j]),
+                                      np.asarray(ts.safe_set[j]))

@@ -327,3 +327,30 @@ def test_step_kernel_reuse_extract_bitwise_neutral():
             params, limits, scs, seed_xs, seed_us, 121, 1.0, key,
             pallas_step_solver=solver, **kw))
     _assert_bitwise(runs[0], runs[1])
+
+
+@pytest.mark.slow
+def test_step_kernel_tail_shrink_bitwise():
+    """tail_shrink with the i2LQR whole-step kernel (interpret): once
+    compacted, the kernel runs on the static prefix and padding equals the
+    zeros skip lanes produce — bitwise vs the full-width run."""
+    params, limits, seed_xs, seed_us, xcl, obstacle = _setup()
+    scs = SoaScenarios.broadcast(np.zeros(4), xcl[-1], obstacle, 256,
+                                 noise_on=True, dtype=DT)
+    solver = build_fused_i2lqr_step(
+        params, limits, 1.0, num_horizon=params.num_horizon, max_steps=128,
+        max_laps=8, max_iter=10, tile_rows=1, interpret=True)
+    kw = dict(num_laps=1, max_steps=128, max_laps=8, solver_max_iter=10,
+              sim_step_budget=60, pallas_step_solver=solver)
+    key = jax.random.PRNGKey(17)
+    base = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                      121, 1.0, key, **kw)
+    ts = simulate_learning_runs_soa(params, limits, scs, seed_xs, seed_us,
+                                    121, 1.0, key, tail_shrink=128, **kw)
+    np.testing.assert_array_equal(np.asarray(base.lap_steps),
+                                  np.asarray(ts.lap_steps))
+    np.testing.assert_array_equal(np.asarray(base.lap_done),
+                                  np.asarray(ts.lap_done))
+    for j in range(4):
+        np.testing.assert_array_equal(np.asarray(base.safe_set[j]),
+                                      np.asarray(ts.safe_set[j]))

@@ -8,6 +8,8 @@ Both routes carry the exact reference semantics incl. per-lane shrinking
 horizons (base.py:640-654) and the h1 reach check (nonlinear_lmpc.py:
 199-213)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +27,17 @@ from ilqr_iterative_tasks_tpu.sim.seed import seed_trajectory
 from ilqr_iterative_tasks_tpu.utils.params import LmpcParams, SystemLimits
 
 DT = jnp.float32
+
+# PROCESS ISOLATION (same story as tests/test_pallas_i2lqr_step.py): this
+# module's interpret-mode whole-step kernels grew heavy enough in round 5
+# (all_rev / prox variants) to reintroduce the late-session XLA:CPU
+# compile crash in the main pytest process. It therefore runs in its own
+# subprocess via tests/test_isolated_kernel_modules.py.
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ISOLATED_KERNEL_TESTS") != "1",
+    reason="runs in an isolated subprocess — see "
+           "tests/test_isolated_kernel_modules.py (set "
+           "ISOLATED_KERNEL_TESTS=1 to run this module directly)")
 
 
 def _setup(dtype=DT, **overrides):
